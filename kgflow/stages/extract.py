@@ -1,0 +1,187 @@
+"""Stage 2 — triple extraction: mention detection over file content.
+
+Two interchangeable engines with byte-identical output (a pytest
+asserts equality on the fixture corpus):
+
+  * ``engine="native"`` (default): pure JVM ``regexp_extract_all`` +
+    higher-order array functions — stays inside whole-stage codegen,
+    zero Python on the datapath. This is the 100 TB fast path.
+  * ``engine="pandas"``: the Arrow-vectorized pandas-UDF extractor the
+    north_star describes ("batched regex + tree-sitter-style mention
+    detection"); the slot where a real tree-sitter parse would plug in
+    on a cluster with native libs available.
+
+Both are pure per-row functions of (lang, content) — no cross-row
+state — so Arrow batch boundaries and partitioning cannot change the
+output (SURVEY.md §7.4 determinism requirement).
+
+The reference's only extraction analogue is expression-level
+projection of already-structured rows (graph-transformation.py:77-116);
+regex appears only as a validation predicate
+(ecommerce-etl-pipeline.py:154). We generalize that `rlike` idea into
+`regexp_extract_all` mention detectors per language.
+
+Emitted predicates (north_star):
+    (repo/path, WRITTEN_IN, lang)    — projection, no parsing
+    (repo,      DECLARES,   symbol)  — def/class/function/table decls
+    (repo/path, IMPORTS,    module)  — import/require/from statements
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Identifier char classes written with explicit unicode ranges so the
+# JVM regex engine (ASCII \w) and Python's re (unicode \w) agree.
+_ID0 = "[A-Za-z_\u00c0-\uffef]"
+_IDC = "[A-Za-z0-9_\u00c0-\uffef]"
+IDENT = f"{_ID0}{_IDC}*"
+DOTTED = f"{IDENT}(?:\\.{IDENT})*"
+
+# (lang, predicate, regex-with-one-capture-group). Shared verbatim by
+# both engines; every construct used is portable between java.util.regex
+# and Python re.
+RULES: list[tuple[str, str, str]] = [
+    ("python", "IMPORTS", rf"(?m)^import\s+({DOTTED})"),
+    ("python", "IMPORTS", rf"(?m)^from\s+({DOTTED})\s+import"),
+    ("python", "DECLARES", rf"(?m)^def\s+({IDENT})"),
+    ("python", "DECLARES", rf"(?m)^class\s+({IDENT})"),
+    ("javascript", "IMPORTS", rf"(?m)^import\s+.*?\s+from\s+'([^']+)'"),
+    ("javascript", "IMPORTS", r"require\('([^']+)'\)"),
+    ("javascript", "DECLARES", rf"(?m)^function\s+({IDENT})"),
+    ("javascript", "DECLARES", rf"(?m)^class\s+({IDENT})"),
+    ("java", "IMPORTS", rf"(?m)^import\s+({DOTTED})\.{IDENT}\s*;"),
+    ("java", "DECLARES", rf"(?m)^(?:public\s+|final\s+)*class\s+({IDENT})"),
+    ("go", "IMPORTS", r'(?m)^import\s+"([^"]+)"'),
+    ("go", "DECLARES", rf"(?m)^func\s+({IDENT})"),
+    ("sql", "DECLARES", rf"(?mi)^CREATE\s+TABLE\s+({IDENT})"),
+    ("sql", "IMPORTS", rf"(?i)\bFROM\s+({IDENT})"),
+]
+
+_LANGS = sorted({lang for lang, _, _ in RULES})
+
+
+def _file_ref() -> F.Column:
+    return F.concat_ws("/", F.col("repo"), F.col("path"))
+
+
+def _written_in(ingested: DataFrame) -> DataFrame:
+    return ingested.select(
+        _file_ref().alias("subj"),
+        F.lit("WRITTEN_IN").alias("pred"),
+        F.col("lang").alias("obj"),
+        F.col("content_sha").alias("src_sha"),
+        "repo",
+        "lang",
+    )
+
+
+def _extract_native(ingested: DataFrame) -> DataFrame:
+    """JVM-only mention detection: regexp_extract_all per rule, arrays
+    tagged with their predicate via transform(), concatenated, exploded.
+    One narrow stage — no shuffle until the caller aggregates."""
+    def tagger(pred: str):
+        # single-arg lambda: a 2-arg lambda would be treated as
+        # (element, index) by F.transform
+        return lambda m: F.struct(F.lit(pred).alias("pred"), m.alias("obj"))
+
+    per_lang = []
+    for lang in _LANGS:
+        arrays = [
+            F.transform(
+                F.regexp_extract_all(F.col("content"), F.lit(pattern), F.lit(1)),
+                tagger(pred),
+            )
+            for rule_lang, pred, pattern in RULES
+            if rule_lang == lang
+        ]
+        per_lang.append((lang, F.concat(*arrays) if len(arrays) > 1 else arrays[0]))
+
+    mentions = F.when(F.col("lang") == per_lang[0][0], per_lang[0][1])
+    for lang, arr in per_lang[1:]:
+        mentions = mentions.when(F.col("lang") == lang, arr)
+    mentions = mentions.otherwise(F.array().cast("array<struct<pred:string,obj:string>>"))
+
+    exploded = (
+        ingested.select(
+            "repo", "lang", "content_sha", _file_ref().alias("file_ref"),
+            F.explode(mentions).alias("m"),
+        )
+    )
+    return exploded.select(
+        F.when(F.col("m.pred") == "DECLARES", F.col("repo"))
+        .otherwise(F.col("file_ref"))
+        .alias("subj"),
+        F.col("m.pred").alias("pred"),
+        F.col("m.obj").alias("obj"),
+        F.col("content_sha").alias("src_sha"),
+        "repo",
+        "lang",
+    )
+
+
+_COMPILED: dict[str, list[tuple[str, re.Pattern]]] = {}
+
+
+def _compiled_rules(lang: str) -> list[tuple[str, re.Pattern]]:
+    if lang not in _COMPILED:
+        _COMPILED[lang] = [
+            (pred, re.compile(pattern))
+            for rule_lang, pred, pattern in RULES
+            if rule_lang == lang
+        ]
+    return _COMPILED.get(lang, [])
+
+
+def _extract_pandas(ingested: DataFrame) -> DataFrame:
+    """Arrow-vectorized twin of _extract_native — the extension point
+    for tree-sitter-style parsing. Pure per-row function of
+    (lang, content); emits the same rows as the native engine."""
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple[str, str, str, str, str, str]] = []
+            for repo, lang, sha, file_ref, content in zip(
+                pdf["repo"], pdf["lang"], pdf["content_sha"],
+                pdf["file_ref"], pdf["content"],
+            ):
+                if not content:
+                    continue
+                for pred, rx in _compiled_rules(lang):
+                    for obj in rx.findall(content):
+                        subj = repo if pred == "DECLARES" else file_ref
+                        out.append((subj, pred, obj, sha, repo, lang))
+            yield pd.DataFrame(
+                out, columns=["subj", "pred", "obj", "src_sha", "repo", "lang"]
+            )
+
+    narrowed = ingested.select(
+        "repo", "lang", "content_sha", _file_ref().alias("file_ref"), "content"
+    )
+    return narrowed.mapInPandas(
+        detect,
+        schema="subj string, pred string, obj string, src_sha string, "
+        "repo string, lang string",
+    )
+
+
+def extract(ingested: DataFrame, engine: str = "native") -> DataFrame:
+    """ingested -> candidate triples (subj, pred, obj, src_sha, repo, lang).
+
+    Match order within one (rule, row) is document order in both engines;
+    duplicates are preserved here (frequency may matter to downstream
+    scoring) — dedup happens at materialize (reference MERGE semantics,
+    neo4j-loading.py:230-234).
+    """
+    if engine == "native":
+        mentions = _extract_native(ingested)
+    elif engine == "pandas":
+        mentions = _extract_pandas(ingested)
+    else:
+        raise ValueError(f"unknown extraction engine: {engine!r}")
+    return _written_in(ingested).unionByName(mentions)

@@ -1,0 +1,221 @@
+"""Query registry: every implemented operator exposed to the driver
+contract (__spark_entry__.queries / oracle_sql).
+
+Two groups:
+  * relational operator families (kgflow.analytics.relational) — all
+    oracle-checked;
+  * training-data ops over documents/embeddings (kgflow.ops.*) — oracle
+    SQL where DuckDB can express the same deterministic computation,
+    rows-only otherwise (minhash/simhash/LSH use Spark's xxhash64,
+    which DuckDB cannot reproduce).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgflow.analytics import relational
+from kgflow.analytics.tables import load
+from kgflow.ops import dedup, similarity, text
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = dict(relational.QUERIES)
+ORACLE_SQL: dict[str, str] = dict(relational.SQL)
+
+
+def _register(name: str, fn: QueryFn, sql: str | None = None) -> None:
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE_SQL[name] = sql
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+_register(
+    "dedup_exact",
+    lambda spark, sf: dedup.exact_duplicates(load(spark, sf, "documents")),
+    """
+SELECT sha256(text) AS text_sha, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY sha256(text) HAVING count(*) > 1
+""",
+)
+
+_register(
+    "dedup_normalized",
+    lambda spark, sf: dedup.normalized_duplicates(load(spark, sf, "documents")),
+    """
+SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bag_md5,
+       count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+""",
+)
+
+_register(
+    "dedup_token_jaccard",
+    lambda spark, sf: dedup.token_jaccard_pairs(load(spark, sf, "documents"), 0.9),
+    """
+WITH sets AS (
+  SELECT doc_id, lang, list_sort(list_distinct(string_split(text, ' '))) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.toks, b.toks))
+             / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE),
+             4) AS jaccard
+FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.toks, b.toks))
+            / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE),
+            4) >= 0.9
+""",
+)
+
+# scale-path near-dup: Spark-hash-based, rows-only oracle
+_register(
+    "dedup_minhash_lsh",
+    lambda spark, sf: dedup.minhash_lsh_pairs(load(spark, sf, "documents"), 0.5),
+)
+_register(
+    "dedup_simhash",
+    lambda spark, sf: dedup.simhash_pairs(load(spark, sf, "documents"), 3),
+)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+def _queries_from_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+_register(
+    "ann_cosine_topk",
+    lambda spark, sf: similarity.brute_force_topk(
+        load(spark, sf, "embeddings"), _queries_from_embeddings(spark, sf), k=5
+    ),
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 6) AS cos
+  FROM embeddings e JOIN q ON e.vec_id != q.query_id
+)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+
+_register(
+    "ann_lsh_topk",
+    lambda spark, sf: similarity.lsh_topk(
+        load(spark, sf, "embeddings"),
+        _queries_from_embeddings(spark, sf),
+        dim=_embedding_dim(spark, sf),
+        k=5,
+    ),
+)
+
+
+def _embedding_dim(spark: SparkSession, sf: str) -> int:
+    row = load(spark, sf, "embeddings").select(F.size("embedding")).first()
+    return int(row[0])
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+_register(
+    "text_quality",
+    lambda spark, sf: text.quality_scores(load(spark, sf, "documents")),
+    """
+SELECT doc_id, lang,
+       length(text) AS n_chars_actual,
+       len(string_split(text, ' ')) AS n_tokens,
+       round(CASE WHEN len(string_split(text, ' ')) > 0
+             THEN length(text) / CAST(len(string_split(text, ' ')) AS DOUBLE)
+             ELSE 0.0 END, 4) AS chars_per_token,
+       round(CASE WHEN len(string_split(text, ' ')) > 0
+             THEN len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the','a','of','to','and','in','is','for','on','with')))
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE)
+             ELSE 0.0 END, 4) AS stopword_ratio,
+       round(CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                  / CAST(length(text) AS DOUBLE)
+             ELSE 0.0 END, 4) AS upper_ratio
+FROM documents
+""",
+)
+
+_register(
+    "token_stats_by_lang",
+    lambda spark, sf: text.token_stats_by_lang(load(spark, sf, "documents")),
+    """
+SELECT lang, count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS total_tokens,
+       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+       max(len(string_split(text, ' '))) AS max_tokens
+FROM documents GROUP BY lang
+""",
+)
+
+_register(
+    "doc_fingerprints",
+    lambda spark, sf: text.fingerprints(load(spark, sf, "documents")),
+    """
+SELECT doc_id, md5(text) AS text_md5,
+       md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bag_md5
+FROM documents
+""",
+)
+
+_register(
+    "bpe_ish_token_count",
+    lambda spark, sf: text.bpe_ish_token_count(load(spark, sf, "documents")),
+    r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
+FROM documents
+""",
+)
+
+_register(
+    "langid_predict",
+    lambda spark, sf: text.classify_language(
+        load(spark, sf, "documents"),
+        text.language_profiles(load(spark, sf, "documents")),
+    ),
+)
+
+
+# --------------------------------------------------------------------------
+# KG pipeline (synthetic corpus — not DuckDB-expressible, rows-only)
+# --------------------------------------------------------------------------
+
+def _kg_triples(spark: SparkSession, sf: str) -> DataFrame:
+    from kgflow import fixtures
+    from kgflow.stages.extract import extract
+    from kgflow.stages.ingest import ingest
+
+    n = 500  # fixed deterministic corpus regardless of sf_dir
+    return extract(ingest(fixtures.source_files(spark, n)), engine="native")
+
+
+_register("kg_extract_triples", _kg_triples)

@@ -1,0 +1,716 @@
+"""Relational operator families (SURVEY.md §2) over the TPC-H-ish tables.
+
+Each public function `q_*(spark, sf_dir) -> DataFrame` has a matching
+`SQL["*"]` oracle string (DuckDB dialect-compatible ANSI SQL) — the
+driver runs both and hash-compares values, so every computed column is
+aliased identically on both sides and doubles are rounded to absorb
+summation-order noise.
+
+Reference citations: each query names the operator rows from SURVEY §2
+it exercises and the reference use-site it generalizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kgflow.analytics.tables import load
+
+SQL: dict[str, str] = {}
+
+
+# --------------------------------------------------------------------------
+# Scans + projections + predicates (S1/S4, P1-P12)
+# --------------------------------------------------------------------------
+
+def q_silver_clean_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 dedup + P3 null filter + P7 comparison + P8 CASE chain —
+    the reference's Silver cleaning shape (ecommerce-etl-pipeline.py:151-162)
+    applied to the customer table."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.dropDuplicates(["c_custkey"])
+        .where(F.col("c_name").isNotNull() & (F.col("c_acctbal") > 0))
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+            F.when(F.col("c_acctbal") >= 7500, "platinum")
+            .when(F.col("c_acctbal") >= 5000, "gold")
+            .when(F.col("c_acctbal") >= 2500, "silver")
+            .otherwise("bronze")
+            .alias("value_tier"),
+        )
+    )
+
+
+SQL["silver_clean_customers"] = """
+SELECT c_custkey, c_name, c_mktsegment,
+       round(c_acctbal, 2) AS acctbal,
+       CASE WHEN c_acctbal >= 7500 THEN 'platinum'
+            WHEN c_acctbal >= 5000 THEN 'gold'
+            WHEN c_acctbal >= 2500 THEN 'silver'
+            ELSE 'bronze' END AS value_tier
+FROM (SELECT DISTINCT ON (c_custkey) * FROM customer ORDER BY c_custkey)
+WHERE c_name IS NOT NULL AND c_acctbal > 0
+"""
+
+
+def q_regex_filter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 regex predicate (rlike) — generalizes the email-regex filter
+    (ecommerce-etl-pipeline.py:154) + P5 isin + P6 between."""
+    p = load(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_name").rlike(r"^[a-m].*(ee|oo)"))
+        .where(F.col("p_size").between(10, 40))
+        .where(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+    )
+
+
+SQL["regex_filter_parts"] = """
+SELECT p_partkey, p_name, p_brand, p_size
+FROM part
+WHERE regexp_matches(p_name, '^[a-m].*(ee|oo)')
+  AND p_size BETWEEN 10 AND 40
+  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+"""
+
+
+def q_null_default_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 coalesce + P10 cast + P2 derived column
+    (customer-360-analytics.py:68-73, graph_ready_enhancements.py:93-94)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.col("o_orderpriority"), F.lit("none")).alias("priority"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_str"),
+        (F.col("o_totalprice") > 100000).cast("int").alias("is_large"),
+    )
+
+
+SQL["null_default_cast"] = """
+SELECT o_orderkey,
+       coalesce(o_orderpriority, 'none') AS priority,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+       CAST(o_totalprice > 100000 AS INT) AS is_large
+FROM orders
+"""
+
+
+def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 distinct (product-recommendations.py:55-57)."""
+    return load(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+SQL["distinct_segments"] = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+# --------------------------------------------------------------------------
+# Aggregations (A1-A5)
+# --------------------------------------------------------------------------
+
+def q_customer_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 hash agg with count/sum/avg/min/max — the customer_metrics
+    gold table (ecommerce-etl-pipeline.py:238-246)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_order_value"),
+        F.round(F.min("o_totalprice"), 2).alias("min_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_order"),
+    )
+
+
+SQL["customer_order_metrics"] = """
+SELECT o_custkey,
+       count(*) AS order_count,
+       round(sum(o_totalprice), 2) AS total_spent,
+       round(avg(o_totalprice), 2) AS avg_order_value,
+       round(min(o_totalprice), 2) AS min_order,
+       round(max(o_totalprice), 2) AS max_order
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_part_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 countDistinct (customer-360-analytics.py:169,
+    product-recommendations.py:363)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+SQL["part_count_distinct"] = """
+SELECT l_partkey,
+       count(DISTINCT l_orderkey) AS n_orders,
+       count(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem GROUP BY l_partkey
+"""
+
+
+def q_collect_set_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 collect_set (product-recommendations.py:283), stabilized for
+    comparison: sorted + joined to one string."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        )
+    )
+
+
+SQL["collect_set_priorities"] = """
+SELECT o_custkey,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 global agg without grouping (product-recommendations.py:239)
+    + A6 count-as-metric."""
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.max("o_orderdate").alias("latest_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+SQL["global_agg"] = """
+SELECT max(o_orderdate) AS latest_order,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders
+"""
+
+
+def q_duplicate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 uniqueness check via groupBy/count/filter — the validation
+    idiom (data-validation.py:105-106) in its scalable form."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+SQL["duplicate_check"] = """
+SELECT l_orderkey, l_linenumber, count(*) AS n
+FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Joins (J1-J6)
+# --------------------------------------------------------------------------
+
+def q_join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 inner equi-join (customer-360-analytics.py:92-96). The
+    customer side is dimension-sized → broadcast hint (SURVEY §2.3)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_name", "c_mktsegment",
+                F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+SQL["join_orders_customers"] = """
+SELECT o_orderkey, c_name, c_mktsegment, round(o_totalprice, 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_left_join_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 left outer join of profile x metrics (customer-360-analytics.py:52-57)
+    with P9 coalesce for customers without orders."""
+    c = load(spark, sf_dir, "customer")
+    stats = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("spent"))
+    )
+    return c.join(stats, c.c_custkey == stats.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("n", F.lit(0)).alias("order_count"),
+        F.coalesce("spent", F.lit(0.0)).alias("total_spent"),
+    )
+
+
+SQL["left_join_customer_stats"] = """
+SELECT c_custkey, c_name,
+       coalesce(n, 0) AS order_count,
+       coalesce(spent, 0.0) AS total_spent
+FROM customer
+LEFT JOIN (
+    SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS spent
+    FROM orders GROUP BY o_custkey
+) s ON c_custkey = s.o_custkey
+"""
+
+
+def q_anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 left anti join — FK-violation / not-purchased idiom
+    (data-validation.py:133-141, product-recommendations.py:79-84)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL["anti_join_customers_without_orders"] = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+"""
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 self-join on shared key + P7 inequality — the co-purchase
+    pair counting of product-recommendations.py:59-67, keyed on orders
+    instead of customers. The skew-safe form: project to distinct
+    (order, part) first so a hot order contributes each pair once."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+    )
+
+
+SQL["copurchase_pairs"] = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+FROM op a JOIN op b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def q_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 composite-condition join on two columns
+    (product-recommendations.py:80-83)."""
+    li = load(spark, sf_dir, "lineitem")
+    best = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_extendedprice").alias("max_price"))
+        .withColumnRenamed("l_orderkey", "b_orderkey")
+    )
+    return (
+        li.join(
+            best,
+            (F.col("l_orderkey") == F.col("b_orderkey"))
+            & (F.col("l_extendedprice") == F.col("max_price")),
+        )
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            "l_partkey",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+
+
+SQL["composite_key_join"] = """
+SELECT l.l_orderkey AS orderkey, l.l_partkey, round(l.l_extendedprice, 2) AS price
+FROM lineitem l
+JOIN (SELECT l_orderkey, max(l_extendedprice) AS max_price
+      FROM lineitem GROUP BY l_orderkey) b
+  ON l.l_orderkey = b.l_orderkey AND l.l_extendedprice = b.max_price
+"""
+
+
+def q_theta_join_category_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 re-expressed: the reference's filtered-cross-join candidates
+    (product-recommendations.py:144-153) restricted to an equi-join on a
+    category key (p_type) to avoid the BNLJ (SURVEY §2.3 note)."""
+    p = load(spark, sf_dir, "part")
+    popular = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 5)
+    )
+    pop_parts = p.join(popular, p.p_partkey == popular.l_partkey).select(
+        F.col("p_partkey").alias("pop_key"), F.col("p_type").alias("pop_type")
+    )
+    return (
+        p.join(pop_parts, (p.p_type == pop_parts.pop_type) & (p.p_partkey != pop_parts.pop_key))
+        .select(F.col("p_partkey").alias("candidate"), F.col("pop_key").alias("anchor"), "p_type")
+    )
+
+
+SQL["theta_join_category_candidates"] = """
+WITH popular AS (
+  SELECT p_partkey AS pop_key, p_type AS pop_type
+  FROM part JOIN (
+    SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey
+  ) c ON p_partkey = l_partkey
+  WHERE cnt >= 5
+)
+SELECT p.p_partkey AS candidate, pop_key AS anchor, p.p_type
+FROM part p JOIN popular ON p.p_type = pop_type AND p.p_partkey != pop_key
+"""
+
+
+# --------------------------------------------------------------------------
+# Windows / sorts / limits (W1-W2, O1-O2)
+# --------------------------------------------------------------------------
+
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 row_number per group + W2 top-k filter
+    (customer-360-analytics.py:138-143). Tie-broken on orderkey so the
+    result is deterministic across engines."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank",
+                F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+SQL["topk_orders_per_customer"] = """
+SELECT o_custkey, o_orderkey, rank, round(o_totalprice, 2) AS total
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+  ) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def q_top20_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 global sort + O2 limit top-k (customer-360-analytics.py:233-235),
+    deterministic tie-break; Spark plans TakeOrderedAndProject."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+SQL["top20_customers"] = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations (U1-U2)
+# --------------------------------------------------------------------------
+
+def q_union_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2 union of two branches (product-recommendations.py:274-276,
+    neo4j-loading.py:108-156) — always unionByName in our engine."""
+    o = load(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("urgent").alias("reason")
+    )
+    big = o.where(F.col("o_totalprice") > 300000).select(
+        "o_orderkey", F.lit("big").alias("reason")
+    )
+    return urgent.unionByName(big)
+
+
+SQL["union_priority_orders"] = """
+SELECT o_orderkey, 'urgent' AS reason FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_orderkey, 'big' AS reason FROM orders WHERE o_totalprice > 300000
+"""
+
+
+# --------------------------------------------------------------------------
+# Date / JSON scalar functions (§2.8)
+# --------------------------------------------------------------------------
+
+def q_orders_by_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date functions year/month/quarter (ecommerce-etl-pipeline.py:199-201)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            "o_totalprice",
+        )
+        .groupBy("yr", "qtr")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+SQL["orders_by_quarter"] = """
+SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property-bag access — the reference parses JSON bags per row
+    on the driver (neo4j-loading.py:239); ours stays columnar with
+    get_json_object."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("k_sum"))
+    )
+
+
+SQL["events_json_extract"] = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Graph/Cypher re-expressions (Q1-Q3)
+# --------------------------------------------------------------------------
+
+NEIGHBOR_K = 10
+
+
+def q_copurchase_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 — collaborative filtering over the purchase graph
+    (customer_recommendations_writeback.py:63-76), in the scale-safe
+    shape: the reference's raw 3-way self-join counts *paths*
+    (quadratic in part popularity — the same blow-up as its
+    product-recommendations.py:59-67 self-join, which at sf0.1 here
+    materializes ~7x10^8 rows). We aggregate customer similarity
+    FIRST, cap to the top-NEIGHBOR_K similar customers per customer
+    (window), then expand only those neighbors' purchases:
+    J4 + W1 + J1 + J3 + A1 composed, every intermediate bounded."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    purchases = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    p1 = purchases.alias("p1")
+    p2 = purchases.alias("p2")
+    sim = (
+        p1.join(p2, (F.col("p1.part") == F.col("p2.part")) & (F.col("p1.cust") != F.col("p2.cust")))
+        .groupBy(F.col("p1.cust").alias("cust"), F.col("p2.cust").alias("other"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    wn = W.partitionBy("cust").orderBy(F.col("shared").desc(), F.col("other"))
+    neighbors = (
+        sim.withColumn("nrank", F.row_number().over(wn))
+        .where(F.col("nrank") <= NEIGHBOR_K)
+        .select("cust", "other")
+    )
+    cand = neighbors.join(
+        purchases.select(F.col("cust").alias("other"), F.col("part").alias("rec")),
+        "other",
+    ).select("cust", "rec")
+    not_owned = cand.join(
+        purchases.select(F.col("cust"), F.col("part").alias("rec")),
+        ["cust", "rec"],
+        "left_anti",
+    )
+    scored = not_owned.groupBy("cust", "rec").agg(F.count(F.lit(1)).alias("score"))
+    w = W.partitionBy("cust").orderBy(F.col("score").desc(), F.col("rec"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("cust", "rec", "score", "rank")
+    )
+
+
+SQL["copurchase_recommendations"] = """
+WITH purchases AS (
+  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+sim AS (
+  SELECT p1.cust AS cust, p2.cust AS other, count(*) AS shared
+  FROM purchases p1
+  JOIN purchases p2 ON p1.part = p2.part AND p1.cust != p2.cust
+  GROUP BY 1, 2
+),
+neighbors AS (
+  SELECT cust, other FROM (
+    SELECT *, row_number() OVER (PARTITION BY cust ORDER BY shared DESC, other) AS nrank
+    FROM sim
+  ) WHERE nrank <= 10
+),
+cand AS (
+  SELECT n.cust, p.part AS rec
+  FROM neighbors n JOIN purchases p ON p.cust = n.other
+),
+not_owned AS (
+  SELECT c.cust, c.rec FROM cand c
+  LEFT JOIN purchases p ON c.cust = p.cust AND c.rec = p.part
+  WHERE p.cust IS NULL
+),
+scored AS (
+  SELECT cust, rec, count(*) AS score FROM not_owned GROUP BY cust, rec
+)
+SELECT cust, rec, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY cust ORDER BY score DESC, rec) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def q_supplier_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 — supplier risk scoring (supplier_metrics_writeback.py:61-76):
+    per-supplier countDistinct parts/categories + CASE risk tier."""
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    supplied = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_suppkey", "p_partkey", "p_type"
+    )
+    metrics = supplied.groupBy("l_suppkey").agg(
+        F.countDistinct("p_partkey").alias("product_count"),
+        F.countDistinct("p_type").alias("category_count"),
+    )
+    return (
+        s.join(metrics, s.s_suppkey == metrics.l_suppkey, "left")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.coalesce("product_count", F.lit(0)).alias("product_count"),
+            F.coalesce("category_count", F.lit(0)).alias("category_count"),
+            F.when(F.coalesce("product_count", F.lit(0)) > 20, "low")
+            .when(F.coalesce("product_count", F.lit(0)) > 5, "medium")
+            .otherwise("high")
+            .alias("concentration_risk"),
+        )
+    )
+
+
+SQL["supplier_risk"] = """
+SELECT s_suppkey, s_name,
+       coalesce(product_count, 0) AS product_count,
+       coalesce(category_count, 0) AS category_count,
+       CASE WHEN coalesce(product_count, 0) > 20 THEN 'low'
+            WHEN coalesce(product_count, 0) > 5 THEN 'medium'
+            ELSE 'high' END AS concentration_risk
+FROM supplier
+LEFT JOIN (
+  SELECT l_suppkey,
+         count(DISTINCT p_partkey) AS product_count,
+         count(DISTINCT p_type) AS category_count
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY l_suppkey
+) m ON s_suppkey = l_suppkey
+"""
+
+
+def q_customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 — customer-360 rollup (configs/neo4j-connector-config.yml:127-146;
+    customer-360-analytics.py:52-223): joins + groupBy + collect_set."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    detail = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "p_brand")
+    )
+    rollup = detail.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderkey").alias("purchase_count"),
+        F.array_join(F.array_sort(F.collect_set("p_brand")), ",").alias("brands"),
+    ).withColumnRenamed("o_custkey", "r_custkey")
+    spent = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent")
+    ).withColumnRenamed("o_custkey", "s_custkey")
+    return (
+        c.join(rollup, c.c_custkey == F.col("r_custkey"), "left")
+        .join(spent, c.c_custkey == F.col("s_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("purchase_count", F.lit(0)).alias("purchase_count"),
+            F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
+            F.coalesce("brands", F.lit("")).alias("brands"),
+        )
+    )
+
+
+SQL["customer_360"] = """
+SELECT c_custkey, c_name,
+       coalesce(purchase_count, 0) AS purchase_count,
+       coalesce(total_spent, 0.0) AS total_spent,
+       coalesce(brands, '') AS brands
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey,
+         count(DISTINCT o_orderkey) AS purchase_count,
+         array_to_string(list_sort(list(DISTINCT p_brand)), ',') AS brands
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              JOIN part ON l_partkey = p_partkey
+  GROUP BY o_custkey
+) r ON c_custkey = r.o_custkey
+LEFT JOIN (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent
+  FROM orders GROUP BY o_custkey
+) s ON c_custkey = s.o_custkey
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing rollup — the headline scan+agg benchmark
+    (A1 at full table width; exercises partial aggregation)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+QUERIES = {
+    name[2:]: fn
+    for name, fn in list(globals().items())
+    if name.startswith("q_") and callable(fn)
+}

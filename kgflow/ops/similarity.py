@@ -1,0 +1,129 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Brute-force cosine top-k is the exact baseline (oracle-checked); the
+scale path buckets vectors with a random-hyperplane LSH so each query
+probes only its bucket. Dot products are pure higher-order-function
+expressions (zip_with + aggregate) — JVM-side, no Python.
+
+At 100 TB the brute-force form is a broadcast of the (small) query set
+against a scan of the corpus — embarrassingly parallel, one pass; the
+LSH form cuts the scan to matching buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+HYPERPLANES = 12
+
+
+def _as_double(col) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    queries: (query_id, query_vec). The query side is broadcast — the
+    corpus scan is the only large input and it streams once."""
+    corpus = embeddings.select(
+        F.col("vec_id"), _as_double(F.col("embedding")).alias("vec")
+    )
+    q = queries.select(
+        F.col("query_id"), _as_double(F.col("query_vec")).alias("qvec")
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from a hash of
+    (plane, coordinate) — no RNG state, reproducible anywhere."""
+    import hashlib
+
+    vals = []
+    for c in range(dim):
+        h = int.from_bytes(
+            hashlib.sha256(f"kgflow:hp:{plane}:{c}".encode()).digest()[:8], "big"
+        )
+        vals.append((h / 2**63) - 1.0)  # uniform-ish in [-1, 1)
+    return vals
+
+
+def lsh_bucket(col, dim: int, planes: int = HYPERPLANES) -> F.Column:
+    """Random-hyperplane signature: one bit per plane (sign of dot
+    product), packed into a long — vectors in the same bucket are
+    likely cosine-similar."""
+    bits = []
+    for p in range(planes):
+        hp = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        bits.append(
+            F.when(_dot(col, hp) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5
+) -> DataFrame:
+    """Approximate cosine top-k: candidates restricted to the query's
+    LSH bucket. Trades recall for a corpus scan that prunes to matching
+    buckets (bucket column is precomputable + partitionable at rest)."""
+    corpus = embeddings.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("vec"),
+    ).withColumn("bucket", lsh_bucket(F.col("vec"), dim))
+    q = queries.select(
+        "query_id", _as_double(F.col("query_vec")).alias("qvec")
+    ).withColumn("bucket", lsh_bucket(F.col("qvec"), dim))
+    scored = (
+        corpus.join(F.broadcast(q), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )

@@ -74,14 +74,25 @@ def connected_components(alias_edges: DataFrame) -> DataFrame:
     if edges.isEmpty():
         return edges.select(F.col("src").alias("member"), F.col("dst").alias("canonical"))
 
+    def _fingerprint(e: DataFrame) -> tuple:
+        # order-insensitive edge-set fingerprint in ONE aggregate —
+        # far cheaper than exceptAll anti-joins per round
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum: order-insensitive and overflow-proof
+            # (ANSI mode would reject a plain long sum of 64-bit hashes)
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("hsum"),
+        ).collect()[0]
+        return (row.n, row.hsum)
+
+    prev_fp = _fingerprint(edges)
     for _ in range(MAX_ITERATIONS):
         grown = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        changed = (
-            grown.exceptAll(edges).limit(1).count() + edges.exceptAll(grown).limit(1).count()
-        )
+        fp = _fingerprint(grown)
         edges = grown
-        if changed == 0:
+        if fp == prev_fp:
             break
+        prev_fp = fp
     else:
         raise RuntimeError(
             f"connected components did not converge in {MAX_ITERATIONS} iterations"

@@ -87,12 +87,14 @@ def minhash_signature(col: F.Column) -> F.Column:
     the classic (a*x+b) mod p family is unnecessary when a seeded
     64-bit hash is available as a builtin.
     """
+    def hash_j(j: int):
+        # single-arg lambda: with two args F.transform passes the array
+        # index as the second parameter, silently breaking the seed
+        return lambda s: F.xxhash64(s, F.lit(j))
+
     sh = _shingles(col)
     return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(s, F.lit(j))))
-            for j in range(NUM_HASHES)
-        ]
+        *[F.array_min(F.transform(sh, hash_j(j))) for j in range(NUM_HASHES)]
     )
 
 

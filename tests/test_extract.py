@@ -8,7 +8,7 @@ from kgflow import fixtures
 from kgflow.stages.extract import extract
 from kgflow.stages.ingest import ingest
 
-N_FILES = 300
+N_FILES = 150
 
 
 def _distinct_triples(df):

@@ -1,0 +1,163 @@
+"""Unit tests for training-data ops: planted near-dups, ANN recall,
+simhash banding, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgflow.ops import dedup, multimodal, similarity, text
+
+BASE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lam mu nu xi omicron pi rho sigma tau upsilon"
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, BASE, "en", "s", len(BASE)),
+        (1, BASE, "en", "s", len(BASE)),  # exact dup of 0
+        (2, " ".join(reversed(BASE.split())), "en", "s", len(BASE)),  # bag dup of 0
+        (3, BASE.replace("kappa", "kappax"), "en", "s", len(BASE)),  # near dup
+        (4, "totally different words here made of unrelated stuff", "en", "s", 50),
+        (5, BASE, "fr", "s", len(BASE)),  # exact text, other lang block
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_duplicates(spark, docs):
+    got = dedup.exact_duplicates(docs).collect()
+    assert len(got) == 1
+    assert got[0].n_docs == 3  # ids 0, 1, 5 share text
+    assert got[0].keep_id == 0
+
+
+def test_normalized_duplicates_catch_reordered(spark, docs):
+    got = dedup.normalized_duplicates(docs).collect()
+    assert len(got) == 1
+    assert got[0].n_docs == 4  # 0, 1, 2, 5
+    assert got[0].keep_id == 0
+
+
+def test_token_jaccard_blocked_by_lang(spark, docs):
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.token_jaccard_pairs(docs, 0.9).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert (0, 3) in pairs  # 19/21 shared tokens = 0.905
+    assert not any(5 in p for p in pairs)  # lang block
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs):
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(docs, 0.5).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_identical_and_near(spark, docs):
+    fps = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(docs).collect()}
+    assert fps[0] == fps[1] == fps[2] == fps[5]  # token-set identical
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.simhash_pairs(docs, 3).collect()}
+    assert (0, 1) in pairs
+    hamming = bin(fps[0] ^ fps[4]).count("1")
+    assert hamming > 3
+    assert (0, 4) not in pairs
+
+
+def test_simhash_partition_invariant(spark, docs):
+    one = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(docs.repartition(1)).collect()}
+    many = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(docs.repartition(5)).collect()}
+    assert one == many
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),   # close to 0
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [0.0, 0.95, 0.05], 1),  # close to 2
+        (4, [-1.0, 0.0, 0.0], 2),  # opposite of 0
+        (5, [0.8, 0.2, 0.0], 0),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def _queries(vdf):
+    return vdf.where(F.col("vec_id").isin(0, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_brute_force_topk_exact(spark, vectors):
+    got = similarity.brute_force_topk(vectors, _queries(vectors), k=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    assert sorted(by_q[0]) == [(1, 1), (2, 5)]
+    assert sorted(by_q[2])[0] == (1, 3)
+
+
+def test_lsh_topk_recall_on_tight_clusters(spark, vectors):
+    got = similarity.lsh_topk(vectors, _queries(vectors), dim=3, k=2).collect()
+    # LSH keeps same-bucket candidates; the nearest neighbor of each
+    # query is nearly colinear so it must share the bucket
+    found = {(r.query_id, r.vec_id) for r in got if r.rank == 1}
+    assert (0, 1) in found
+    assert (2, 3) in found
+
+
+def test_quality_scores_ranges(spark, docs):
+    rows = text.quality_scores(docs).collect()
+    for r in rows:
+        assert 0 <= r.stopword_ratio <= 1
+        assert 0 <= r.upper_ratio <= 1
+        assert r.n_tokens > 0
+
+
+def test_langid_profiles_self_classification(spark):
+    # distinct vocabularies per lang -> classifier must recover labels
+    rows = []
+    for i in range(30):
+        rows.append((i, "der die das und ist ein" + f" w{i%3}", "de", "s", 30))
+        rows.append((100 + i, "the and was of to a" + f" w{i%3}", "en", "s", 30))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    profiles = text.language_profiles(docs, top_n=10)
+    pred = text.classify_language(docs, profiles)
+    joined = docs.join(pred, "doc_id")
+    acc = joined.where(F.col("lang") == F.col("predicted_lang")).count() / joined.count()
+    assert acc >= 0.95
+
+
+def test_multimodal_feature_plumbing(spark):
+    rows = [
+        (1, "image", bytearray(b"\x01\x02\x03" * 50), ("image/png", 8, 8, None)),
+        (2, "image", bytearray(b"\x01\x02\x03" * 50), ("image/png", 8, 8, None)),
+        (3, "audio", None, ("audio/wav", None, None, 2000)),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {r.asset_id: r.features for r in multimodal.extract_features(media).collect()}
+    assert feats[1] == feats[2]  # deterministic: same bytes -> same features
+    assert feats[3] == [0.0] * multimodal.FEATURE_DIM
+    assert len(feats[1]) == multimodal.FEATURE_DIM
+
+
+def test_multimodal_real_decoder_is_stubbed(spark):
+    rows = [(1, "image", bytearray(b"xx"), ("image/png", 1, 1, None))]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|imaging library"):
+        multimodal.extract_features(media, use_real_decoder=True).collect()
+
+
+def test_frame_sample_plan(spark):
+    rows = [(1, "video", None, ("video/mp4", 640, 480, 3500)),
+            (2, "image", None, ("image/png", 8, 8, None))]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+    assert {(r.asset_id, r.frame_ts_ms) for r in got} == {(1, 0), (1, 1000), (1, 2000), (1, 3000)}

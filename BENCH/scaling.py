@@ -4,9 +4,11 @@ at two parallelism levels (local[8] = N, local[32] = 4N), per the
 BASELINE.md §3 protocol — the sandbox substitute for the north_rule's
 N vs 4N executor criterion.
 
+The corpus is generated ONCE to parquet (untimed) and read by every
+run, so the measurement is pipeline throughput over a stored table.
 Each level runs in a fresh JVM (subprocess) so core counts are really
-independent. Per level: 1 discarded warm-up, then median of
---runs timed runs. Writes BENCH/BASELINE.md.
+independent. Per level: 1 discarded warm-up, then median of --runs
+timed runs. Writes BENCH/BASELINE.md.
 
 Usage:  python BENCH/scaling.py [--files 60000] [--runs 3]
 """
@@ -15,18 +17,30 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import platform
+import shutil
 import statistics
 import subprocess
 import sys
 import tempfile
-import os
-import shutil
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(cores: int, files: int) -> dict:
+def generate_corpus(files: int, path: str) -> None:
+    """Fresh-JVM corpus materialization (exits so its memory is freed)."""
+    code = (
+        "from kgflow.session import get_spark\n"
+        "from kgflow import fixtures\n"
+        "spark = get_spark('corpus-gen', cores=32)\n"
+        f"fixtures.source_files(spark, {files}).write.mode('overwrite').parquet({path!r})\n"
+        "spark.stop()\n"
+    )
+    subprocess.run([sys.executable, "-c", code], cwd=REPO, check=True, timeout=3600)
+
+
+def run_once(cores: int, corpus: str) -> dict:
     """One fresh-JVM pipeline run; returns the CLI's JSON summary."""
     out_dir = tempfile.mkdtemp(prefix=f"kgflow_scale_{cores}_")
     try:
@@ -34,7 +48,7 @@ def run_once(cores: int, files: int) -> dict:
             [
                 sys.executable,
                 os.path.join(REPO, "run_pipeline.py"),
-                "--synthetic", str(files),
+                "--input", corpus,
                 "--output", out_dir,
                 "--cores", str(cores),
             ],
@@ -45,16 +59,15 @@ def run_once(cores: int, files: int) -> dict:
         )
         if proc.returncode != 0:
             raise RuntimeError(f"pipeline failed at cores={cores}:\n{proc.stderr[-2000:]}")
-        # summary is the last JSON object on stdout
         payload = proc.stdout[proc.stdout.index("{"):]
         return json.loads(payload)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
-def measure(cores: int, files: int, runs: int) -> dict:
-    run_once(cores, files)  # warm-up (page cache, JIT profiles) — discarded
-    results = [run_once(cores, files) for _ in range(runs)]
+def measure(cores: int, corpus: str, runs: int) -> dict:
+    run_once(cores, corpus)  # warm-up (page cache, JIT profiles) — discarded
+    results = [run_once(cores, corpus) for _ in range(runs)]
     times = sorted(r["elapsed_sec"] for r in results)
     med = statistics.median(times)
     triples = results[0]["triples"]
@@ -73,16 +86,22 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
 
-    n = measure(8, args.files, args.runs)
-    n4 = measure(32, args.files, args.runs)
+    corpus = tempfile.mkdtemp(prefix="kgflow_scale_corpus_")
+    try:
+        generate_corpus(args.files, corpus)
+        n = measure(8, corpus, args.runs)
+        n4 = measure(32, corpus, args.runs)
+    finally:
+        shutil.rmtree(corpus, ignore_errors=True)
     efficiency = (n4["triples_per_sec"] / n["triples_per_sec"]) / 4
 
     md = f"""# BENCH/BASELINE.md — throughput scaling evidence
 
 Protocol: BASELINE.md §3. Identical deterministic synthetic corpus
-({args.files:,} files, seed=42), identical full pipeline
-(ingest → extract → link → canonicalize → materialize), two fresh-JVM
-parallelism levels. 1 warm-up discarded, median of {args.runs} timed runs.
+({args.files:,} files, seed=42) materialized once to parquet; identical
+full pipeline (ingest → extract → link → canonicalize → materialize)
+reading that parquet; two fresh-JVM parallelism levels. 1 warm-up
+discarded, median of {args.runs} timed runs.
 
 | level | cores | median sec | triples | triples/sec |
 |---|---|---|---|---|

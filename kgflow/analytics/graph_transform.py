@@ -1,0 +1,135 @@
+"""Generic row→graph transform: the reference's graph-transformation
+semantics (databricks/notebooks/graph-transformation.py:77-116) as
+reusable operators over ANY relational table.
+
+Node encoding   (node_id, properties json, label)      — :77-93
+Edge encoding   (from_id, to_id, properties, rel_type) — :103-116
+plus the loader-shape rename (:ID/:LABEL/:START_ID/:END_ID/:TYPE,
+neo4j-loading.py:122-137), MERGE-idempotent dedup
+(neo4j-loading.py:230-234,309-315), and the reference's dynamic
+column-presence probing (graph-transformation.py:70-75
+struct_if_exists) — re-done at plan-build time over df.columns.
+
+Property bags are to_json(struct(...)) with key order fixed by the
+prop_cols argument, so outputs are byte-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgflow.analytics.tables import load
+
+
+def struct_if_exists(df: DataFrame, cols: list[str]) -> F.Column:
+    """Reference's struct_if_exists (graph-transformation.py:70-75):
+    build the property struct from whichever candidate columns the
+    table actually has — plan-time reflection, not runtime."""
+    present = [c for c in cols if c in df.columns]
+    return F.struct(*[F.col(c) for c in present])
+
+
+def to_nodes(df: DataFrame, id_col: str, label: str, prop_cols: list[str]) -> DataFrame:
+    """Relational rows -> loader-shaped node table, deduplicated by id
+    (MERGE idempotence)."""
+    return (
+        df.dropDuplicates([id_col])
+        .select(
+            F.concat(F.lit(label + ":"), F.col(id_col).cast("string")).alias(":ID"),
+            F.lit(label).alias(":LABEL"),
+            F.to_json(struct_if_exists(df, prop_cols)).alias("properties"),
+        )
+    )
+
+
+def to_edges(
+    df: DataFrame,
+    from_col: str,
+    from_label: str,
+    to_col: str,
+    to_label: str,
+    rel_type: str,
+    prop_cols: list[str] | None = None,
+) -> DataFrame:
+    """Relational rows -> loader-shaped edge table, deduplicated by
+    (start, end, type)."""
+    props = (
+        F.to_json(struct_if_exists(df, prop_cols)) if prop_cols else F.lit("{}")
+    )
+    return (
+        df.select(
+            F.concat(F.lit(from_label + ":"), F.col(from_col).cast("string")).alias(":START_ID"),
+            F.concat(F.lit(to_label + ":"), F.col(to_col).cast("string")).alias(":END_ID"),
+            F.lit(rel_type).alias(":TYPE"),
+            props.alias("properties"),
+        )
+        .dropDuplicates([":START_ID", ":END_ID", ":TYPE"])
+    )
+
+
+def ecommerce_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The reference's whole graph-transformation stage applied to the
+    TPC-H-ish tables: Customer/Order/Part/Supplier/Nation nodes,
+    PLACED/CONTAINS/SUPPLIED_BY/LOCATED_IN edges."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+
+    nodes = (
+        to_nodes(c, "c_custkey", "Customer", ["c_name", "c_mktsegment"])
+        .unionByName(to_nodes(o, "o_orderkey", "Order", ["o_orderstatus", "o_orderpriority"]))
+        .unionByName(to_nodes(p, "p_partkey", "Part", ["p_name", "p_brand", "p_type"]))
+        .unionByName(to_nodes(s, "s_suppkey", "Supplier", ["s_name"]))
+        .unionByName(to_nodes(n, "n_nationkey", "Nation", ["n_name"]))
+    )
+    edges = (
+        to_edges(o, "o_custkey", "Customer", "o_orderkey", "Order", "PLACED")
+        .unionByName(to_edges(li, "l_orderkey", "Order", "l_partkey", "Part", "CONTAINS"))
+        .unionByName(to_edges(li, "l_partkey", "Part", "l_suppkey", "Supplier", "SUPPLIED_BY"))
+        .unionByName(to_edges(c, "c_custkey", "Customer", "c_nationkey", "Nation", "LOCATED_IN"))
+        .unionByName(to_edges(s, "s_suppkey", "Supplier", "s_nationkey", "Nation", "LOCATED_IN"))
+    )
+    return nodes, edges
+
+
+def nodes_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 verification counts (neo4j-loading.py:341-365): nodes per label."""
+    nodes, _ = ecommerce_graph(spark, sf_dir)
+    return nodes.groupBy(F.col(":LABEL").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+def edges_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 verification counts: relationships per type."""
+    _, edges = ecommerce_graph(spark, sf_dir)
+    return edges.groupBy(F.col(":TYPE").alias("rel_type")).agg(
+        F.count(F.lit(1)).alias("n_edges")
+    )
+
+
+NODES_PER_LABEL_SQL = """
+SELECT label, count(*) AS n_nodes FROM (
+  SELECT 'Customer' AS label, c_custkey AS id FROM (SELECT DISTINCT c_custkey FROM customer)
+  UNION ALL SELECT 'Order', o_orderkey FROM (SELECT DISTINCT o_orderkey FROM orders)
+  UNION ALL SELECT 'Part', p_partkey FROM (SELECT DISTINCT p_partkey FROM part)
+  UNION ALL SELECT 'Supplier', s_suppkey FROM (SELECT DISTINCT s_suppkey FROM supplier)
+  UNION ALL SELECT 'Nation', n_nationkey FROM (SELECT DISTINCT n_nationkey FROM nation)
+) GROUP BY label
+"""
+
+EDGES_PER_TYPE_SQL = """
+SELECT rel_type, count(*) AS n_edges FROM (
+  SELECT 'PLACED' AS rel_type FROM (SELECT DISTINCT o_custkey, o_orderkey FROM orders)
+  UNION ALL SELECT 'CONTAINS' FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  UNION ALL SELECT 'SUPPLIED_BY' FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+  UNION ALL SELECT 'LOCATED_IN' FROM (
+    SELECT DISTINCT 'C' side, c_custkey AS a, c_nationkey AS b FROM customer
+    UNION ALL SELECT DISTINCT 'S', s_suppkey, s_nationkey FROM supplier
+  )
+) GROUP BY rel_type
+"""

@@ -219,3 +219,13 @@ def _kg_triples(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _register("kg_extract_triples", _kg_triples)
+
+
+# --------------------------------------------------------------------------
+# Generic row->graph transform (reference graph-transformation semantics)
+# --------------------------------------------------------------------------
+
+from kgflow.analytics import graph_transform as _gt  # noqa: E402
+
+_register("graph_nodes_per_label", _gt.nodes_per_label, _gt.NODES_PER_LABEL_SQL)
+_register("graph_edges_per_type", _gt.edges_per_type, _gt.EDGES_PER_TYPE_SQL)

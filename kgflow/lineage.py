@@ -42,6 +42,7 @@ class StageResult:
     fingerprint: str
     row_count: int
     skipped: bool
+    elapsed_sec: float = 0.0
 
 
 def _manifest_path(stage_dir: str) -> str:
@@ -85,6 +86,9 @@ def write_stage(
             manifest = json.load(f)
         return StageResult(stage, data_path, fp, manifest["row_count"], skipped=True)
 
+    import time
+
+    t0 = time.monotonic()
     df.write.mode("overwrite").parquet(data_path)
 
     lineage = per_file_counts(spark, data_path).withColumn("stage", F.lit(stage))
@@ -94,18 +98,20 @@ def write_stage(
         spark.read.parquet(lineage_path).agg(F.sum("row_count")).collect()[0][0] or 0
     )
 
+    elapsed = round(time.monotonic() - t0, 3)
     manifest = {
         "stage": stage,
         "fingerprint": fp,
         "row_count": int(row_count),
         "run_ts": run_ts,
+        "elapsed_sec": elapsed,
         "status": "complete",
     }
     tmp = _manifest_path(stage_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2)
     os.replace(tmp, _manifest_path(stage_dir))  # atomic completion marker
-    return StageResult(stage, data_path, fp, int(row_count), skipped=False)
+    return StageResult(stage, data_path, fp, int(row_count), skipped=False, elapsed_sec=elapsed)
 
 
 def read_stage(spark: SparkSession, run_dir: str, stage: str) -> DataFrame:

@@ -136,6 +136,11 @@ def lsh_alias_edges(dictionary: DataFrame) -> DataFrame:
         ).alias("bk"),
     ).select("symbol", "norm", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
+    # The banded table feeds three plan branches (bucket sizing + both
+    # self-join sides); materialize it once — it is O(vocab x BANDS),
+    # bounded, and recomputing it re-runs the whole signature tree.
+    banded = banded.localCheckpoint(eager=True)
+
     # Skew guard: cap bucket size before the in-bucket self-join.
     bucket_sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bucket_n"))
     capped = banded.join(
@@ -158,8 +163,14 @@ def lsh_alias_edges(dictionary: DataFrame) -> DataFrame:
 
 
 def link(triples: DataFrame, fuzzy: bool = True) -> tuple[DataFrame, DataFrame]:
-    """triples -> (symbol dictionary, undirected alias edges)."""
-    dictionary = symbol_dictionary(triples)
+    """triples -> (symbol dictionary, undirected alias edges).
+
+    The dictionary is materialized once (localCheckpoint): it is
+    O(|vocabulary|) — bounded regardless of corpus size — and feeds
+    many plan branches (hub grouping, hub join, LSH signatures, bucket
+    sizing, both self-join sides); without the checkpoint each branch
+    re-aggregates the full triple stream."""
+    dictionary = symbol_dictionary(triples).localCheckpoint(eager=True)
     edges = norm_alias_edges(dictionary)
     if fuzzy:
         edges = edges.unionByName(lsh_alias_edges(dictionary)).dropDuplicates(["src", "dst"])

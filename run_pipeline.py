@@ -66,7 +66,7 @@ def main(argv: list[str] | None = None) -> int:
         "triples": report.triples_emitted,
         "triples_per_sec": round(report.triples_emitted / elapsed, 1),
         "stages": {
-            name: {"rows": r.row_count, "skipped": r.skipped}
+            name: {"rows": r.row_count, "skipped": r.skipped, "sec": r.elapsed_sec}
             for name, r in report.results.items()
         },
     }

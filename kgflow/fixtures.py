@@ -74,7 +74,8 @@ MODULES = [
     "time_sync",
 ]
 
-# Filler vocabulary must never collide with extraction regexes.
+# Filler vocabulary must never collide with extraction regexes
+# (no import/class/def/func/from/create/table/require/select tokens).
 FILLER = (
     "alpha beta gamma delta epsilon zeta theta kappa sigma omega "
     "widget handle buffer cursor ledger packet branch vertex tuple"
@@ -118,7 +119,17 @@ def _commit_for(repo: str, i: int) -> str:
 
 
 def _filler_line(r: random.Random) -> str:
-    return "# " + " ".join(r.choice(FILLER) for _ in range(6))
+    """Comment line with high-entropy tokens: realistic source files
+    compress ~2-4x in parquet, not 25x — a template-only corpus turns
+    into so few bytes at rest that scan splits (and therefore cores)
+    starve, which would fake any scaling measurement."""
+    words = " ".join(r.choice(FILLER) for _ in range(4))
+    hexes = " ".join(f"{r.getrandbits(32):08x}" for _ in range(5))
+    return f"# {words} {hexes}"
+
+
+def _filler_block(r: random.Random) -> list[str]:
+    return [_filler_line(r) for _ in range(r.randrange(12, 48))]
 
 
 def _file_record(i: int, n_files: int) -> dict:
@@ -153,11 +164,11 @@ def _file_record(i: int, n_files: int) -> dict:
 
     # --- regular templated file --------------------------------------------
     decls: list[str] = []
-    for _ in range(r.randrange(1, 4)):
+    for _ in range(r.randrange(2, 7)):
         base = r.choice(BASE_SYMBOLS)
         style = ALIAS_STYLES[r.randrange(len(ALIAS_STYLES))]
         decls.append(style(base) + f"_{r.randrange(20)}" if r.random() < 0.3 else style(base))
-    imports = [r.choice(MODULES) for _ in range(r.randrange(1, 4))]
+    imports = [r.choice(MODULES) for _ in range(r.randrange(2, 6))]
     imports = list(dict.fromkeys(imports))
     decls = list(dict.fromkeys(decls))
 
@@ -170,7 +181,8 @@ def _file_record(i: int, n_files: int) -> dict:
 
 def _render(lang: str, decls: list[str], imports: list[str], r: random.Random, big: bool) -> str:
     lines: list[str] = []
-    fill = lambda: lines.append(_filler_line(r))  # noqa: E731
+    fill = lambda: lines.extend(_filler_block(r))  # noqa: E731
+    fill()
     if lang == "python":
         for m in imports:
             lines.append(f"import {m}")
@@ -182,6 +194,7 @@ def _render(lang: str, decls: list[str], imports: list[str], r: random.Random, b
             else:
                 lines.append(f"def {s}(x, y):")
                 lines.append("    return x")
+            fill()
     elif lang == "javascript":
         for m in imports:
             if r.random() < 0.5:
@@ -194,21 +207,25 @@ def _render(lang: str, decls: list[str], imports: list[str], r: random.Random, b
                 lines.append(f"class {s} {{}}")
             else:
                 lines.append(f"function {s}(a, b) {{ return a }}")
+            fill()
     elif lang == "java":
         for m in imports:
             lines.append(f"import {m}.Core;")
         fill()
         for s in decls:
             lines.append(f"class {s} {{ }}")
+            fill()
     elif lang == "go":
         for m in imports:
             lines.append(f'import "{m}"')
         fill()
         for s in decls:
             lines.append(f"func {s}(n int) int {{ return n }}")
+            fill()
     elif lang == "sql":
         for s in decls:
             lines.append(f"CREATE TABLE {s} (id INT);")
+            fill()
         for m in imports:
             lines.append(f"SELECT id FROM {m};")
     if big:

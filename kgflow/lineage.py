@@ -91,12 +91,17 @@ def write_stage(
     t0 = time.monotonic()
     df.write.mode("overwrite").parquet(data_path)
 
-    lineage = per_file_counts(spark, data_path).withColumn("stage", F.lit(stage))
+    # one job: per-file counts collected once — the lineage table is
+    # O(output files), so the driver round-trip is trivial and saves a
+    # re-read + aggregate job per stage (serial overhead on the
+    # inter-stage critical path)
+    counts = per_file_counts(spark, data_path).collect()
     lineage_path = os.path.join(stage_dir, "lineage")
-    lineage.write.mode("overwrite").parquet(lineage_path)
-    row_count = (
-        spark.read.parquet(lineage_path).agg(F.sum("row_count")).collect()[0][0] or 0
-    )
+    spark.createDataFrame(
+        [(r.file, r.row_count, stage) for r in counts],
+        "file string, row_count long, stage string",
+    ).coalesce(1).write.mode("overwrite").parquet(lineage_path)
+    row_count = sum(r.row_count for r in counts)
 
     elapsed = round(time.monotonic() - t0, 3)
     manifest = {

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from kgflow import lineage as lin
 from kgflow.stages.canonicalize import canonical_map
 from kgflow.stages.extract import extract
-from kgflow.stages.ingest import ingest
+from kgflow.stages.ingest import ingest, ingest_manifest
 from kgflow.stages.link import link
 from kgflow.stages.materialize import (
     assert_edge_endpoints,
@@ -77,11 +77,13 @@ def run_pipeline(
         return res
 
     fp0 = lin.fingerprint({"corpus": corpus_fingerprint})
-    stage("ingested", fp0, lambda: ingest(source))
-    ingested = lin.read_stage(spark, run_dir, "ingested")
+    # persisted ingest table is metadata-only (no content rewrite);
+    # extraction re-derives the ingest projection inline over the raw
+    # source — narrow + deterministic, so semantics are identical
+    stage("ingested", fp0, lambda: ingest_manifest(source))
 
     fp1 = lin.fingerprint({"engine": extraction_engine}, fp0)
-    stage("triples", fp1, lambda: extract(ingested, engine=extraction_engine))
+    stage("triples", fp1, lambda: extract(ingest(source), engine=extraction_engine))
     triples = lin.read_stage(spark, run_dir, "triples")
 
     fp2 = lin.fingerprint({"fuzzy": fuzzy_linking}, fp1)
@@ -93,7 +95,15 @@ def run_pipeline(
     cmap = lin.read_stage(spark, run_dir, "canonical_map")
 
     fp4 = lin.fingerprint({"out_partitions": out_partitions}, fp3)
-    nodes_df, edges_df = materialize(triples, cmap, out_partitions=out_partitions)
+    # materialize() eagerly checkpoints the canonicalized stream, so
+    # only build it if at least one output stage actually needs to run
+    if not (
+        lin.is_complete(f"{run_dir}/nodes", fp4)
+        and lin.is_complete(f"{run_dir}/edges", fp4)
+    ):
+        nodes_df, edges_df = materialize(triples, cmap, out_partitions=out_partitions)
+    else:
+        nodes_df = edges_df = None
     stage("nodes", fp4, lambda: nodes_df)
     stage("edges", fp4, lambda: edges_df)
 

@@ -19,12 +19,18 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
     ``cores`` controls local[N] parallelism; defaults to $SPARK_GRAFT_CPUS
     or all cores. ``shuffle_partitions`` defaults to 2x cores — enough
     granularity for AQE to coalesce, small enough for local mode.
+    ``master`` overrides the master URL entirely (e.g.
+    ``local-cluster[4,8,8192]`` for multi-process executors — on this
+    sandbox host a single JVM's threads anti-scale beyond ~8 cores, so
+    scaling evidence uses executor *processes*, which also matches a
+    real cluster's topology).
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
@@ -32,7 +38,7 @@ def get_spark(
         shuffle_partitions = max(2 * cores, 8)
 
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -40,9 +46,22 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("KGFLOW_DRIVER_MEM", "16g"))
+        # default 10k rows/batch is ~125 MB for 12 KB text rows — several
+        # concurrent tasks then thrash executor heaps; 2k keeps Arrow
+        # batches ~25 MB
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # local mode = driver-only: this is the ONLY memory knob. Size it
+        # to the host — 32 concurrent tasks over wide text rows in a small
+        # heap spend their time in GC, not work.
+        .config("spark.driver.memory", os.environ.get("KGFLOW_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # text-heavy rows compress hard in parquet: default 128 MB splits
+        # leave most cores idle on corpora whose *decoded* cost is high.
+        # 16 MB keeps every core fed; at real 100 TB scale the default is
+        # fine because file counts dominate.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -22,13 +22,33 @@ def ingest(source: DataFrame) -> DataFrame:
     row-local expression, so this fuses into the downstream stage's scan
     under whole-stage codegen.
     """
+    from kgflow.functions import sha256_hex
+
     return source.select(
         "repo",
         "path",
         "commit",
         "lang",
         "content",
-        F.sha2(F.col("content"), 256).alias("content_sha"),
-        F.sha2(F.concat_ws("|", "repo", "path", "commit"), 256).alias("file_id"),
+        # Arrow-vectorized sha256: the builtin sha2 anti-scales with
+        # thread count (JVM digest lock) — see kgflow/functions.py
+        sha256_hex(F.col("content")).alias("content_sha"),
+        # internal join key, not part of the sha invariant — a 128-bit
+        # xxhash64 pair is collision-safe here and lock-free
+        F.concat(
+            F.lpad(F.hex(F.xxhash64("repo", "path", "commit")), 16, "0"),
+            F.lpad(F.hex(F.xxhash64("commit", "path", "repo")), 16, "0"),
+        ).alias("file_id"),
         F.spark_partition_id().alias("ingest_partition"),
     )
+
+
+def ingest_manifest(source: DataFrame) -> DataFrame:
+    """The *persisted* ingest table: everything ingest() adds, WITHOUT
+    the content column. Rewriting the heavy payload into a stage table
+    doubles the corpus I/O for zero information — at 100 TB that is the
+    difference between a metadata pass and a second copy of the lake.
+    Downstream stages recompute ingest() inline over the raw source
+    (narrow, deterministic, fused into their scan); the sha stored here
+    is the lineage anchor the invariant tests compare against."""
+    return ingest(source).drop("content")

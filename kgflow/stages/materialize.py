@@ -130,8 +130,13 @@ def assert_edge_endpoints(nodes: DataFrame, edges: DataFrame) -> None:
 def materialize(
     triples: DataFrame, cmap: DataFrame, out_partitions: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
-    """triples + canonical map -> (nodes, edges), skew-spread."""
-    tc = canonicalized_triples(triples, cmap)
+    """triples + canonical map -> (nodes, edges), skew-spread.
+
+    The canonicalized triple stream feeds both outputs; localCheckpoint
+    materializes it once instead of re-scanning + re-joining per output
+    table. (On a real cluster this would be the `canonical_triples`
+    stage table instead of an in-memory checkpoint.)"""
+    tc = canonicalized_triples(triples, cmap).localCheckpoint(eager=True)
     nodes = build_nodes(tc)
     edges = build_edges(tc)
     if out_partitions:

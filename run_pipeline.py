@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -30,6 +31,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--engine", choices=["native", "pandas"], default="native",
                     help="extraction engine (default: native JVM regex)")
     ap.add_argument("--cores", type=int, default=None, help="local[N] parallelism")
+    ap.add_argument("--master", default=None,
+                    help="override master URL, e.g. local-cluster[4,8,8192]")
+    ap.add_argument(
+        "--input-partitions", type=int, default=0,
+        help="repartition the input to N (0 = off, -1 = 3x cores). "
+        "Only useful when the corpus compresses so hard that byte-range "
+        "splits starve the cores; for normal corpora the scan splits "
+        "(spark.sql.files.maxPartitionBytes) already feed every core, "
+        "and a repartition would shuffle the full payload for nothing.",
+    )
     ap.add_argument("--no-fuzzy", action="store_true", help="disable LSH alias linking")
     ap.add_argument("--out-partitions", type=int, default=None)
     ap.add_argument("--run-ts", default="1970-01-01T00:00:00Z",
@@ -40,12 +51,27 @@ def main(argv: list[str] | None = None) -> int:
     from kgflow.pipeline import run_pipeline
     from kgflow.session import get_spark
 
-    spark = get_spark("kgflow-pipeline", cores=args.cores)
+    extra = {}
+    if args.master and args.master.startswith("local-cluster"):
+        mem_mb = args.master.rstrip("]").split(",")[-1]
+        extra = {
+            "spark.executor.memory": f"{max(int(mem_mb) - 1024, 1024)}m",
+            # executor python workers must import kgflow
+            "spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
+        }
+    spark = get_spark(
+        "kgflow-pipeline", cores=args.cores, master=args.master, extra_conf=extra
+    )
     if args.synthetic:
         source = fixtures.source_files(spark, args.synthetic)
         corpus_fp = f"synthetic-n{args.synthetic}-seed{fixtures.SEED}"
     else:
         source = spark.read.parquet(args.input)
+        n_parts = args.input_partitions
+        if n_parts == -1:
+            n_parts = 3 * spark.sparkContext.defaultParallelism
+        if n_parts:
+            source = source.repartition(n_parts)
         corpus_fp = args.input
 
     t0 = time.monotonic()

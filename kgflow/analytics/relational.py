@@ -709,6 +709,129 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
 
+
+
+# --------------------------------------------------------------------------
+# SQL API / temp views (S10-S11) + date arithmetic + RFM gold semantics
+# --------------------------------------------------------------------------
+
+def q_sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 temp-view registration + SQL entry point (csv-ingestion.py:254,
+    customer-360-analytics.py:80-175): same Catalyst plan either way, so
+    the engine exposes both. Joins through nation for a 3-table rollup."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT n_name AS nation,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM v_orders
+        JOIN v_customer ON o_custkey = c_custkey
+        JOIN v_nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
+SQL["sql_api_revenue_by_nation"] = """
+SELECT n_name AS nation, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_customer_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic (datediff) — the reference's recency computation
+    (ecommerce-etl-pipeline.py:247-250; product-recommendations.py:239-243)
+    anchored at max(order_date) instead of current_date so reruns are
+    deterministic (SURVEY §4.2)."""
+    o = load(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    per_cust = o.groupBy("o_custkey").agg(F.max("o_orderdate").alias("last_order"))
+    return per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff(F.col("anchor"), F.col("last_order")).alias("days_since_last"),
+    )
+
+
+SQL["customer_recency"] = """
+WITH anchor AS (SELECT max(o_orderdate) AS a FROM orders)
+SELECT o_custkey,
+       date_diff('day', last_order, a) AS days_since_last
+FROM (SELECT o_custkey, max(o_orderdate) AS last_order FROM orders GROUP BY o_custkey)
+CROSS JOIN anchor
+"""
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the reference's weighted-score + CASE-segment
+    gold logic (customer-360-analytics.py:197-215,259-282) with fixed
+    deterministic thresholds."""
+    o = load(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("anchor"), F.col("last_order")).alias("recency_days"),
+            "frequency",
+            F.round("monetary", 2).alias("monetary"),
+        )
+    )
+    r_score = F.when(F.col("recency_days") <= 30, 3).when(F.col("recency_days") <= 90, 2).otherwise(1)
+    f_score = F.when(F.col("frequency") >= 15, 3).when(F.col("frequency") >= 5, 2).otherwise(1)
+    m_score = F.when(F.col("monetary") >= 500000, 3).when(F.col("monetary") >= 100000, 2).otherwise(1)
+    weighted = F.round(r_score * 0.25 + f_score * 0.35 + m_score * 0.40, 4)
+    return rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        weighted.alias("rfm_score"),
+        F.when(weighted >= 2.5, "champion")
+        .when(weighted >= 2.0, "loyal")
+        .when(weighted >= 1.5, "promising")
+        .otherwise("at_risk")
+        .alias("segment"),
+    )
+
+
+SQL["customer_rfm"] = """
+WITH anchor AS (SELECT max(o_orderdate) AS a FROM orders),
+rfm AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate), (SELECT a FROM anchor)) AS recency_days,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT *,
+    round(CAST(
+          (CASE WHEN recency_days <= 30 THEN 3 WHEN recency_days <= 90 THEN 2 ELSE 1 END) * 0.25
+        + (CASE WHEN frequency >= 15 THEN 3 WHEN frequency >= 5 THEN 2 ELSE 1 END) * 0.35
+        + (CASE WHEN monetary >= 500000 THEN 3 WHEN monetary >= 100000 THEN 2 ELSE 1 END) * 0.40
+      AS DOUBLE), 4) AS rfm_score
+  FROM rfm
+)
+SELECT o_custkey, recency_days, frequency, monetary, rfm_score,
+       CASE WHEN rfm_score >= 2.5 THEN 'champion'
+            WHEN rfm_score >= 2.0 THEN 'loyal'
+            WHEN rfm_score >= 1.5 THEN 'promising'
+            ELSE 'at_risk' END AS segment
+FROM scored
+"""
+
+
 QUERIES = {
     name[2:]: fn
     for name, fn in list(globals().items())

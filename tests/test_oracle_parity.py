@@ -17,6 +17,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _norm_cell(v):
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"

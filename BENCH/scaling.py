@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Throughput-scaling evidence: the same KG pipeline on the same input
-at two executor-process counts (local-cluster[1,8] = N executors,
-local-cluster[4,8] = 4N), per the BASELINE.md §3 protocol — the sandbox
+at two executor-process counts (local-cluster[1,2] = N executors,
+local-cluster[4,2] = 4N), per the BASELINE.md §3 protocol — the sandbox
 substitute for the north_rule's N vs 4N executor criterion.
 
 The corpus is generated ONCE to parquet (untimed) and read by every
@@ -72,9 +72,12 @@ def run_once(label: str, master: str, corpus: str) -> dict:
 # on this host (measured: pure-CPU xxhash job, local[8]=134s vs
 # local[32]=246s), and separate processes also match a real cluster's
 # topology.
+# 2-core executors: the host's memory-copy bandwidth saturates at ~8
+# concurrent streams (~17 GB/s measured) — wider configs measure the
+# shared memory bus, not the pipeline. See BASELINE.md §3.
 LEVELS = {
-    "N": "local-cluster[1,8,8192]",
-    "4N": "local-cluster[4,8,8192]",
+    "N": "local-cluster[1,2,4096]",
+    "4N": "local-cluster[4,2,4096]",
 }
 
 
@@ -106,7 +109,7 @@ def measure(corpus: str, runs: int) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--files", type=int, default=300000)
+    ap.add_argument("--files", type=int, default=2400000)
     ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from kgflow import lineage as lin
 from kgflow.stages.canonicalize import canonical_map
-from kgflow.stages.extract import extract
+from kgflow.stages.extract import extract, extract_with_manifest
 from kgflow.stages.ingest import ingest, ingest_manifest
 from kgflow.stages.link import link
 from kgflow.stages.materialize import (
@@ -78,12 +78,18 @@ def run_pipeline(
 
     fp0 = lin.fingerprint({"corpus": corpus_fingerprint})
     # persisted ingest table is metadata-only (no content rewrite);
-    # extraction re-derives the ingest projection inline over the raw
-    # source — narrow + deterministic, so semantics are identical
+    # the corpus payload is sha-hashed exactly ONCE here — extraction
+    # propagates the sha by file_id (broadcast join) instead of paying
+    # a second full Arrow+hash pass
     stage("ingested", fp0, lambda: ingest_manifest(source))
+    manifest = lin.read_stage(spark, run_dir, "ingested")
 
     fp1 = lin.fingerprint({"engine": extraction_engine}, fp0)
-    stage("triples", fp1, lambda: extract(ingest(source), engine=extraction_engine))
+    stage(
+        "triples",
+        fp1,
+        lambda: extract_with_manifest(source, manifest, engine=extraction_engine),
+    )
     triples = lin.read_stage(spark, run_dir, "triples")
 
     fp2 = lin.fingerprint({"fuzzy": fuzzy_linking}, fp1)

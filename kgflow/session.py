@@ -56,12 +56,23 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("KGFLOW_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # G1 sizes ParallelGCThreads from visible CPUs (~23 on 32 vCPUs);
+        # on this virtualized kernel that many GC threads THRASH — a pure
+        # xxhash job at local[32] ran 12x faster with GC threads capped
+        # (123s -> 10s). Cap them everywhere.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2",
+        )
         # text-heavy rows compress hard in parquet: default 128 MB splits
         # leave most cores idle on corpora whose *decoded* cost is high.
         # 16 MB keeps every core fed; at real 100 TB scale the default is
         # fine because file counts dominate.
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
+        # all executors share this host: waiting for data-locality only
+        # stalls small stages (default 3s per locality level)
+        .config("spark.locality.wait", "0ms")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -185,3 +185,45 @@ def extract(ingested: DataFrame, engine: str = "native") -> DataFrame:
     else:
         raise ValueError(f"unknown extraction engine: {engine!r}")
     return _written_in(ingested).unionByName(mentions)
+
+
+def extract_with_manifest(
+    source: DataFrame, manifest: DataFrame, engine: str = "native"
+) -> DataFrame:
+    """Extraction that PROPAGATES the ingest manifest's content_sha by
+    file_id instead of recomputing it — hash once, join by key.
+
+    The corpus payload is hashed exactly once (in the ingest-manifest
+    pass); extraction carries the lock-free xxhash file_id through the
+    sha slot and swaps the real sha back in with a broadcast join on
+    the narrow manifest. At 10^12 rows the manifest no longer
+    broadcasts — bucket both sides on file_id instead; the structure
+    (single hashing pass, key-propagated lineage) is what carries over.
+
+    The invariant is unchanged: src_sha equals sha256(content) of the
+    originating row (tests assert equality against an inline recompute).
+    """
+    keyed = source.select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.concat(
+            F.lpad(F.hex(F.xxhash64("repo", "path", "commit")), 16, "0"),
+            F.lpad(F.hex(F.xxhash64("commit", "path", "repo")), 16, "0"),
+        ).alias("content_sha"),  # file_id riding the sha slot until the join
+    )
+    trip = extract(keyed, engine=engine)
+    return (
+        trip.withColumnRenamed("src_sha", "file_id")
+        .join(F.broadcast(manifest.select("file_id", "content_sha")), "file_id")
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.col("content_sha").alias("src_sha"),
+            "repo",
+            "lang",
+        )
+    )

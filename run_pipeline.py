@@ -52,15 +52,31 @@ def main(argv: list[str] | None = None) -> int:
     from kgflow.session import get_spark
 
     extra = {}
+    total_cores = None
     if args.master and args.master.startswith("local-cluster"):
-        mem_mb = args.master.rstrip("]").split(",")[-1]
+        inner = args.master.split("[")[1].rstrip("]").split(",")
+        n_exec, exec_cores, mem_mb = int(inner[0]), int(inner[1]), int(inner[2])
+        total_cores = n_exec * exec_cores
         extra = {
-            "spark.executor.memory": f"{max(int(mem_mb) - 1024, 1024)}m",
+            "spark.executor.memory": f"{max(mem_mb - 1024, 1024)}m",
             # executor python workers must import kgflow
             "spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
+            # right-size each executor JVM's thread pools to its core
+            # slice; unbounded GC threads thrash this host (session.py)
+            "spark.executor.extraJavaOptions": (
+                f"-XX:ActiveProcessorCount={exec_cores} "
+                f"-XX:ParallelGCThreads={max(exec_cores // 2, 2)} -XX:ConcGCThreads=2"
+            ),
         }
     spark = get_spark(
-        "kgflow-pipeline", cores=args.cores, master=args.master, extra_conf=extra
+        "kgflow-pipeline",
+        cores=args.cores,
+        master=args.master,
+        # shuffle granularity must track the CLUSTER's core count, not
+        # the host's (a 2-core cluster drowning in 64-partition shuffles
+        # pays pure scheduling latency on every small stage)
+        shuffle_partitions=(2 * total_cores if total_cores else None),
+        extra_conf=extra,
     )
     if args.synthetic:
         source = fixtures.source_files(spark, args.synthetic)

@@ -79,3 +79,16 @@ def test_empty_and_mentionless_files_emit_only_written_in(spark):
     assert rec1["golden"] == [(f"{rec1['repo']}/{rec1['path']}", "WRITTEN_IN", rec1["lang"])]
     assert rec2["golden"] == [(f"{rec2['repo']}/{rec2['path']}", "WRITTEN_IN", rec2["lang"])]
     assert per_file  # sanity
+
+
+def test_manifest_join_path_identical_to_inline(spark):
+    """extract_with_manifest (hash-once, sha propagated by file_id)
+    must emit exactly the same triples as inline-sha extraction."""
+    from kgflow.stages.extract import extract_with_manifest
+    from kgflow.stages.ingest import ingest_manifest
+
+    src = fixtures.source_files(spark, 120)
+    inline = extract(ingest(src), engine="native")
+    joined = extract_with_manifest(src, ingest_manifest(src), engine="native")
+    assert inline.exceptAll(joined).isEmpty()
+    assert joined.exceptAll(inline).isEmpty()

@@ -38,6 +38,10 @@ BENCH_QUERIES = [
     "supplier_risk",
     "customer_360",
     "topk_orders_per_customer",
+    "customer_rfm",
+    "customer_recency",
+    "sql_api_revenue_by_nation",
+    "graph_edges_per_type",
     # training-data ops
     "dedup_exact",
     "dedup_normalized",

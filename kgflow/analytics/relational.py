@@ -116,10 +116,17 @@ def q_customer_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 hash agg with count/sum/avg/min/max — the customer_metrics
     gold table (ecommerce-etl-pipeline.py:238-246)."""
     o = load(spark, sf_dir, "orders")
+    # money sums in decimal: exact and order-independent, so the DuckDB
+    # oracle matches bit-for-bit (double sums flip the last cent when
+    # summation order differs); avg derives from the exact sum
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
     return o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("order_count"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_order_value"),
+        F.round(F.sum(dec).cast("double"), 2).alias("total_spent"),
+        # floor at whole cents: round() ties (e.g. an exact .105 mean)
+        # break differently across engines; floor of the same IEEE
+        # division is bit-deterministic
+        (F.floor((F.sum(dec) * 100).cast("double") / F.count(F.lit(1))) / 100).alias("avg_order_value"),
         F.round(F.min("o_totalprice"), 2).alias("min_order"),
         F.round(F.max("o_totalprice"), 2).alias("max_order"),
     )
@@ -128,8 +135,8 @@ def q_customer_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL["customer_order_metrics"] = """
 SELECT o_custkey,
        count(*) AS order_count,
-       round(sum(o_totalprice), 2) AS total_spent,
-       round(avg(o_totalprice), 2) AS avg_order_value,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_spent,
+       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS DOUBLE) / count(*)) / 100 AS avg_order_value,
        round(min(o_totalprice), 2) AS min_order,
        round(max(o_totalprice), 2) AS max_order
 FROM orders GROUP BY o_custkey
@@ -237,7 +244,7 @@ def q_left_join_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("spent"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("spent"))
     )
     return c.join(stats, c.c_custkey == stats.o_custkey, "left").select(
         "c_custkey",
@@ -253,7 +260,7 @@ SELECT c_custkey, c_name,
        coalesce(spent, 0.0) AS total_spent
 FROM customer
 LEFT JOIN (
-    SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS spent
+    SELECT o_custkey, count(*) AS n, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS spent
     FROM orders GROUP BY o_custkey
 ) s ON c_custkey = s.o_custkey
 """
@@ -455,13 +462,13 @@ def q_orders_by_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
         )
         .groupBy("yr", "qtr")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("revenue"))
     )
 
 
 SQL["orders_by_quarter"] = """
 SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
-       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+       count(*) AS n, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
 FROM orders GROUP BY 1, 2
 """
 
@@ -642,7 +649,7 @@ def q_customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_set("p_brand")), ",").alias("brands"),
     ).withColumnRenamed("o_custkey", "r_custkey")
     spent = o.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total_spent")
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("total_spent")
     ).withColumnRenamed("o_custkey", "s_custkey")
     return (
         c.join(rollup, c.c_custkey == F.col("r_custkey"), "left")
@@ -672,7 +679,7 @@ LEFT JOIN (
   GROUP BY o_custkey
 ) r ON c_custkey = r.o_custkey
 LEFT JOIN (
-  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent
+  SELECT o_custkey, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_spent
   FROM orders GROUP BY o_custkey
 ) s ON c_custkey = s.o_custkey
 """
@@ -686,12 +693,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 2).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")).cast("double"), 2
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            (F.floor((F.sum(F.col("l_quantity").cast("decimal(18,4)")) * 10000).cast("double") / F.count(F.lit(1))) / 10000).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -699,10 +706,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 4) AS avg_qty,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_disc_price,
+       floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS DOUBLE) / count(*)) / 10000 AS avg_qty,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -726,7 +733,7 @@ def q_sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT n_name AS nation,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS revenue
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
         FROM v_orders
         JOIN v_customer ON o_custkey = c_custkey
         JOIN v_nation ON c_nationkey = n_nationkey
@@ -736,7 +743,7 @@ def q_sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL["sql_api_revenue_by_nation"] = """
-SELECT n_name AS nation, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+SELECT n_name AS nation, count(*) AS n_orders, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
@@ -777,7 +784,7 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).alias("frequency"),
-            F.sum("o_totalprice").alias("monetary"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
         )
         .crossJoin(F.broadcast(anchor))
         .select(
@@ -811,7 +818,7 @@ rfm AS (
   SELECT o_custkey,
          date_diff('day', max(o_orderdate), (SELECT a FROM anchor)) AS recency_days,
          count(*) AS frequency,
-         round(sum(o_totalprice), 2) AS monetary
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS monetary
   FROM orders GROUP BY o_custkey
 ),
 scored AS (

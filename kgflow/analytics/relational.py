@@ -839,6 +839,98 @@ FROM scored
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# Time-series over events: tumbling windows + sessionization
+# (batch analogues of streaming windows — the reference has no streams,
+# SURVEY §2.9, so these run as deterministic batch queries)
+# --------------------------------------------------------------------------
+
+def q_events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation via F.window — the batch form
+    of a Structured Streaming windowed agg."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+SQL["events_hourly_windows"] = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: per user, a new session starts when
+    the gap from the previous event exceeds 30 minutes — lag() +
+    running sum of session-start flags (frame-spec windows), then a
+    per-session rollup. The batch form of a session window."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sessions = flagged.withColumn(
+        "session_no",
+        F.sum("is_start").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+SQL["events_sessionization"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end
+FROM sessions GROUP BY user_id, session_no
+"""
+
+
 QUERIES = {
     name[2:]: fn
     for name, fn in list(globals().items())

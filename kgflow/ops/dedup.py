@@ -7,9 +7,10 @@ hash — the scalable shape). Near-dup comes in two flavors:
     the oracle-checked correctness baseline (blocking on lang bounds the
     quadratic term; at 100 TB you'd block on minhash bands instead);
   * ``minhash_lsh_pairs`` — the scale path: banded minhash over token
-    3-gram shingles, candidate pairs only within LSH buckets, exact
-    Jaccard verify. Same algorithm family as the entity-linking stage
-    (kgflow/stages/link.py) but over documents.
+    3-gram shingles, candidate pairs only within (capped) LSH buckets,
+    similarity verified from signature agreement. Same algorithm
+    family as the entity-linking stage (kgflow/stages/link.py) but
+    over documents.
   * ``simhash_fingerprints`` / ``simhash_pairs`` — 64-bit simhash via
     bit-majority of token xxhash64s; near-dups collide on all but a few
     bits and are found by banding the fingerprint into 4 x 16-bit keys

@@ -23,7 +23,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-KG_FILES = int(os.environ.get("KGFLOW_BENCH_FILES", "20000"))
+KG_FILES = int(os.environ.get("KGFLOW_BENCH_FILES", "60000"))
 
 BENCH_QUERIES = [
     # scan + agg

@@ -121,6 +121,20 @@ SELECT query_id, vec_id, cos, rank FROM (
 )
 
 _register(
+    "dedup_embedding_cosine",
+    lambda spark, sf: similarity.embedding_near_duplicates(
+        load(spark, sf, "embeddings"), 0.95
+    ),
+    """
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.vec, b.vec), 6) AS cos
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.95
+""",
+)
+
+_register(
     "ann_lsh_topk",
     lambda spark, sf: similarity.lsh_topk(
         load(spark, sf, "embeddings"),

@@ -127,3 +127,33 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos", "rank")
     )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked on the label column.
+
+    The deterministic, oracle-expressible baseline: same-label blocking
+    bounds the self-join (at 100 TB the block key would be an LSH
+    bucket — see lsh_bucket — instead of a semantic label). Cosine
+    rounded to 6 so both engines agree bit-for-bit."""
+    vecs = embeddings.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
+    )
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    cos = F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

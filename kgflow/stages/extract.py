@@ -70,17 +70,6 @@ def _file_ref() -> F.Column:
     return F.concat_ws("/", F.col("repo"), F.col("path"))
 
 
-def _written_in(ingested: DataFrame) -> DataFrame:
-    return ingested.select(
-        _file_ref().alias("subj"),
-        F.lit("WRITTEN_IN").alias("pred"),
-        F.col("lang").alias("obj"),
-        F.col("content_sha").alias("src_sha"),
-        "repo",
-        "lang",
-    )
-
-
 def _extract_native(ingested: DataFrame) -> DataFrame:
     """JVM-only mention detection: regexp_extract_all per rule, arrays
     tagged with their predicate via transform(), concatenated, exploded.
@@ -106,6 +95,13 @@ def _extract_native(ingested: DataFrame) -> DataFrame:
     for lang, arr in per_lang[1:]:
         mentions = mentions.when(F.col("lang") == lang, arr)
     mentions = mentions.otherwise(F.array().cast("array<struct<pred:string,obj:string>>"))
+    # fold the WRITTEN_IN projection into the same array: one explode,
+    # one corpus scan (a unioned projection branch would re-scan the
+    # whole corpus a second time — union branches share nothing)
+    mentions = F.concat(
+        F.array(F.struct(F.lit("WRITTEN_IN").alias("pred"), F.col("lang").alias("obj"))),
+        mentions,
+    )
 
     exploded = (
         ingested.select(
@@ -150,6 +146,7 @@ def _extract_pandas(ingested: DataFrame) -> DataFrame:
                 pdf["repo"], pdf["lang"], pdf["content_sha"],
                 pdf["file_ref"], pdf["content"],
             ):
+                out.append((file_ref, "WRITTEN_IN", lang, sha, repo, lang))
                 if not content:
                     continue
                 for pred, rx in _compiled_rules(lang):
@@ -179,12 +176,10 @@ def extract(ingested: DataFrame, engine: str = "native") -> DataFrame:
     neo4j-loading.py:230-234).
     """
     if engine == "native":
-        mentions = _extract_native(ingested)
-    elif engine == "pandas":
-        mentions = _extract_pandas(ingested)
-    else:
-        raise ValueError(f"unknown extraction engine: {engine!r}")
-    return _written_in(ingested).unionByName(mentions)
+        return _extract_native(ingested)
+    if engine == "pandas":
+        return _extract_pandas(ingested)
+    raise ValueError(f"unknown extraction engine: {engine!r}")
 
 
 def extract_with_manifest(

@@ -37,22 +37,47 @@ def _register(name: str, fn: QueryFn, sql: str | None = None) -> None:
 # Deduplication
 # --------------------------------------------------------------------------
 
+# Both dedup queries run over a corpus with deterministically PLANTED
+# duplicates (every 10th doc re-inserted; see dedup.plant_*) so the
+# duplicate-detection path returns non-empty, hash-checked results —
+# the raw synthetic tables contain no natural dups, which made the
+# round-1 oracle passes vacuous.
+_PLANTED_EXACT = """
+(SELECT * FROM documents
+ UNION ALL
+ SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+ FROM documents WHERE doc_id % 10 = 0)
+"""
+
+_PLANTED_REORDERED = """
+(SELECT * FROM documents
+ UNION ALL
+ SELECT doc_id + 1000000 AS doc_id,
+        array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text,
+        lang, source, n_chars
+ FROM documents WHERE doc_id % 10 = 0)
+"""
+
 _register(
     "dedup_exact",
-    lambda spark, sf: dedup.exact_duplicates(load(spark, sf, "documents")),
-    """
+    lambda spark, sf: dedup.exact_duplicates(
+        dedup.plant_exact_duplicates(load(spark, sf, "documents"))
+    ),
+    f"""
 SELECT sha256(text) AS text_sha, count(*) AS n_docs, min(doc_id) AS keep_id
-FROM documents GROUP BY sha256(text) HAVING count(*) > 1
+FROM {_PLANTED_EXACT} GROUP BY sha256(text) HAVING count(*) > 1
 """,
 )
 
 _register(
     "dedup_normalized",
-    lambda spark, sf: dedup.normalized_duplicates(load(spark, sf, "documents")),
-    """
+    lambda spark, sf: dedup.normalized_duplicates(
+        dedup.plant_reordered_duplicates(load(spark, sf, "documents"))
+    ),
+    f"""
 SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bag_md5,
        count(*) AS n_docs, min(doc_id) AS keep_id
-FROM documents
+FROM {_PLANTED_REORDERED}
 GROUP BY 1 HAVING count(*) > 1
 """,
 )
@@ -122,11 +147,20 @@ SELECT query_id, vec_id, cos, rank FROM (
 
 _register(
     "dedup_embedding_cosine",
+    # planted near-dups (see similarity.plant_near_duplicate_vectors):
+    # the synthetic embeddings have no natural cos>=0.95 pairs, so the
+    # detector runs over a corpus with every 10th vector re-inserted
     lambda spark, sf: similarity.embedding_near_duplicates(
-        load(spark, sf, "embeddings"), 0.95
+        similarity.plant_near_duplicate_vectors(load(spark, sf, "embeddings")), 0.95
     ),
     """
-WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+WITH planted AS (
+  SELECT * FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding, label
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM planted)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.vec, b.vec), 6) AS cos
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -182,9 +216,9 @@ _register(
     lambda spark, sf: text.token_stats_by_lang(load(spark, sf, "documents")),
     """
 SELECT lang, count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS total_tokens,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
-       max(len(string_split(text, ' '))) AS max_tokens
+       CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
 FROM documents GROUP BY lang
 """,
 )

@@ -60,10 +60,12 @@ WHERE c_name IS NOT NULL AND c_acctbal > 0
 
 def q_regex_filter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 regex predicate (rlike) — generalizes the email-regex filter
-    (ecommerce-etl-pipeline.py:154) + P5 isin + P6 between."""
+    (ecommerce-etl-pipeline.py:154) + P5 isin + P6 between. The regex
+    alternation targets real name vocabulary so the predicate is
+    selective but non-empty at every sf."""
     p = load(spark, sf_dir, "part")
     return (
-        p.where(F.col("p_name").rlike(r"^[a-m].*(ee|oo)"))
+        p.where(F.col("p_name").rlike(r"^(small|red).*(ring|bolt)"))
         .where(F.col("p_size").between(10, 40))
         .where(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
         .select("p_partkey", "p_name", "p_brand", "p_size")
@@ -73,7 +75,7 @@ def q_regex_filter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL["regex_filter_parts"] = """
 SELECT p_partkey, p_name, p_brand, p_size
 FROM part
-WHERE regexp_matches(p_name, '^[a-m].*(ee|oo)')
+WHERE regexp_matches(p_name, '^(small|red).*(ring|bolt)')
   AND p_size BETWEEN 10 AND 40
   AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
 """
@@ -268,9 +270,11 @@ LEFT JOIN (
 
 def q_anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 left anti join — FK-violation / not-purchased idiom
-    (data-validation.py:133-141, product-recommendations.py:79-84)."""
+    (data-validation.py:133-141, product-recommendations.py:79-84).
+    Anti-joined against the URGENT subset so the result is non-empty at
+    every sf (every customer has *some* order in the generated data)."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
     return c.join(
         o, c.c_custkey == o.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -278,7 +282,10 @@ def q_anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> Da
 
 SQL["anti_join_customers_without_orders"] = """
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+WHERE c_custkey NOT IN (
+    SELECT o_custkey FROM orders
+    WHERE o_custkey IS NOT NULL AND o_orderpriority = '1-URGENT'
+)
 """
 
 
@@ -490,7 +497,7 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL["events_json_extract"] = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum
 FROM events GROUP BY event_type
 """
 
@@ -901,10 +908,12 @@ def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_no",
         F.sum("is_start").over(w.rowsBetween(W.unboundedPreceding, 0)),
     )
+    # session bounds rendered as strings: timestamp physical types differ
+    # between engines (ns vs us) and the driver hash is dtype-sensitive
     return sessions.groupBy("user_id", "session_no").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
     )
 
 
@@ -919,14 +928,14 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts,
-         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_no
+         CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
   FROM flagged
 )
 SELECT user_id, session_no,
        count(*) AS n_events,
-       min(ts) AS session_start,
-       max(ts) AS session_end
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
 FROM sessions GROUP BY user_id, session_no
 """
 

@@ -50,6 +50,33 @@ def word_shingles(col, n: int = SHINGLE_N) -> F.Column:
     )
 
 
+PLANT_EVERY = 10
+PLANT_OFFSET = 1_000_000
+
+
+def plant_exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Deterministically derive a corpus WITH duplicates from one
+    without: every PLANT_EVERY-th document is re-inserted verbatim under
+    doc_id+PLANT_OFFSET. Used by the oracle-checked dedup queries so the
+    duplicate-detection path is exercised with a non-empty result on any
+    input (the driver's synthetic tables contain no natural dups)."""
+    clones = docs.where(F.col("doc_id") % PLANT_EVERY == 0).withColumn(
+        "doc_id", F.col("doc_id") + PLANT_OFFSET
+    )
+    return docs.unionByName(clones)
+
+
+def plant_reordered_duplicates(docs: DataFrame) -> DataFrame:
+    """Same planting, but clones carry the token-REVERSED text: invisible
+    to exact dedup, caught by bag-of-words (normalized) dedup."""
+    clones = (
+        docs.where(F.col("doc_id") % PLANT_EVERY == 0)
+        .withColumn("doc_id", F.col("doc_id") + PLANT_OFFSET)
+        .withColumn("text", F.array_join(F.reverse(_tokens(F.col("text"))), " "))
+    )
+    return docs.unionByName(clones)
+
+
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Exact dedup by content hash: groups with >1 doc, keeping the
     representative (min id) — sha2-groupBy, the hash-partition-friendly

@@ -129,6 +129,17 @@ def lsh_topk(
     )
 
 
+def plant_near_duplicate_vectors(embeddings: DataFrame) -> DataFrame:
+    """Deterministically re-insert every 10th vector under
+    vec_id+1_000_000 (same label, same coordinates) so the near-dup
+    detector has planted positives (cos = 1.0) on inputs with no natural
+    near-duplicates — mirrors kgflow.ops.dedup.plant_exact_duplicates."""
+    clones = embeddings.where(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    return embeddings.unionByName(clones)
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame, threshold: float = 0.95
 ) -> DataFrame:

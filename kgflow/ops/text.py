@@ -48,11 +48,13 @@ def token_stats_by_lang(docs: DataFrame) -> DataFrame:
     """Corpus-level token accounting per language — the first number any
     training-data pipeline reports."""
     n_toks = F.size(_tokens(F.col("text")))
+    # max/sum cast to long so the physical schema matches the DuckDB
+    # oracle's BIGINT bit-for-bit (driver hash is dtype-sensitive)
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_toks).alias("total_tokens"),
         F.round(F.avg(n_toks), 4).alias("avg_tokens"),
-        F.max(n_toks).alias("max_tokens"),
+        F.max(n_toks).cast("long").alias("max_tokens"),
     )
 
 

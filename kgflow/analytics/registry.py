@@ -101,7 +101,7 @@ WHERE round(len(list_intersect(a.toks, b.toks))
 """,
 )
 
-# scale-path near-dup: Spark-hash-based, rows-only oracle
+# scale-path near-dup: Spark-hash-based (xxhash64), rows-only oracle
 _register(
     "dedup_minhash_lsh",
     lambda spark, sf: dedup.minhash_lsh_pairs(load(spark, sf, "documents"), 0.5),
@@ -109,6 +109,23 @@ _register(
 _register(
     "dedup_simhash",
     lambda spark, sf: dedup.simhash_pairs(load(spark, sf, "documents"), 3),
+)
+
+# md5-seeded twins of the same algorithms: identical banding / capping /
+# verification logic, but with a hash family DuckDB can reproduce —
+# these give the LSH code paths a full value-hash oracle check while
+# the xxhash64 variants above remain the 100 TB fast path.
+_register(
+    "dedup_minhash_lsh_md5",
+    lambda spark, sf: dedup.minhash_lsh_pairs(
+        load(spark, sf, "documents"), 0.5, hash_family="md5"
+    ),
+    dedup.minhash_md5_oracle_sql(0.5),
+)
+_register(
+    "dedup_simhash_md5",
+    lambda spark, sf: dedup.simhash_pairs_md5(load(spark, sf, "documents"), 3),
+    dedup.simhash_md5_oracle_sql(3),
 )
 
 
@@ -168,6 +185,9 @@ WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.95
 """,
 )
 
+# oracle generated with dim=64 — the dimension of every testdata
+# embeddings table; the Spark side reads the dim from the data, so a
+# future dim change shows up as an immediate schema/row mismatch here
 _register(
     "ann_lsh_topk",
     lambda spark, sf: similarity.lsh_topk(
@@ -176,6 +196,7 @@ _register(
         dim=_embedding_dim(spark, sf),
         k=5,
     ),
+    similarity.lsh_topk_oracle_sql(dim=64, k=5),
 )
 
 
@@ -250,6 +271,32 @@ _register(
         load(spark, sf, "documents"),
         text.language_profiles(load(spark, sf, "documents")),
     ),
+    """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+freq AS (SELECT lang, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+prof AS (
+  SELECT lang, tok, rank FROM (
+    SELECT lang, tok,
+           row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rank
+    FROM freq
+  ) WHERE rank <= 20
+),
+dtok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+scored AS (
+  SELECT doc_id, p.lang,
+         round(sum(CAST(1.0 AS DOUBLE) / rank), 4) AS score
+  FROM dtok d JOIN prof p ON d.tok = p.tok
+  GROUP BY 1, 2
+)
+SELECT doc_id, lang AS predicted_lang, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+  FROM scored
+) WHERE rn = 1
+""",
 )
 
 

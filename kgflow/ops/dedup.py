@@ -132,7 +132,9 @@ def token_jaccard_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
 BUCKET_CAP = 128
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.5, hash_family: str = "xxhash64"
+) -> DataFrame:
     """Scale-path near-dup: shingle -> minhash -> band -> bucket-join.
 
     Never compares two documents unless they collide in a band, so cost
@@ -145,16 +147,35 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         only 2 x NUM_HASHES longs ride the shuffle per candidate row,
         not the full shingle sets.
 
+    hash_family picks the seeded hash: ``xxhash64`` (JVM-native longs,
+    the 100 TB fast path) or ``md5`` (hex strings, lexicographic min —
+    slower, but bit-reproducible in DuckDB, so the identical banding/
+    capping/verify algorithm gets a full value-hash oracle check).
+
     Exact-Jaccard verification stays available via token_jaccard_pairs
     (the oracle-checked baseline)."""
     sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh")).where(
         F.size("sh") > 0
     )
 
-    def hash_j(j: int):
-        # single-arg lambda: with two args F.transform passes the array
-        # index as the second parameter, silently breaking the seed
-        return lambda s: F.xxhash64(s, F.lit(j))
+    if hash_family == "xxhash64":
+        def hash_j(j: int):
+            # single-arg lambda: with two args F.transform passes the
+            # array index as the second parameter, breaking the seed
+            return lambda s: F.xxhash64(s, F.lit(j))
+
+        def band_key(b: int, rows: int):
+            return F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
+    elif hash_family == "md5":
+        def hash_j(j: int):
+            return lambda s: F.md5(F.concat(s, F.lit(f":{j}")))
+
+        def band_key(b: int, rows: int):
+            return F.md5(
+                F.concat_ws("|", *[F.col("sig")[b * rows + r] for r in range(rows)])
+            )
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
 
     sig = sh.select(
         "doc_id",
@@ -171,7 +192,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)]).alias("key"),
+                        band_key(b, rows).alias("key"),
                     )
                     for b in range(BANDS)
                 ]
@@ -201,6 +222,186 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def simhash_pairs_md5(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """md5 twin of simhash_pairs: the same 64-bit bit-majority simhash
+    and 4 x 16-bit pigeonhole banding, but per-token hashes come from
+    md5 (4 x 16-bit chunks of the hex digest) instead of xxhash64 —
+    bit-reproducible in DuckDB, so the whole algorithm (fingerprint,
+    banding, Hamming verify) gets a value-hash oracle check. The
+    fingerprint is carried as 4 small ints (f0..f3 = the band keys)
+    to avoid signed-64-bit edge cases across engines."""
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok")
+    )
+    h = F.md5(F.col("tok"))
+    chunks = [
+        F.conv(F.substring(h, 1 + 4 * b, 4), 16, 10).cast("int") for b in range(4)
+    ]
+    votes = [
+        F.sum(
+            F.when(F.shiftright(chunks[b], i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}_{i}")
+        for b in range(4)
+        for i in range(16)
+    ]
+    voted = tok.groupBy("doc_id").agg(*votes)
+    fingers = voted.select(
+        "doc_id",
+        *[
+            sum(
+                [
+                    F.when(F.col(f"v{b}_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                    for i in range(16)
+                ],
+                F.lit(0),
+            ).alias(f"f{b}")
+            for b in range(4)
+        ],
+    )
+    banded = fingers.select(
+        "doc_id",
+        "f0",
+        "f1",
+        "f2",
+        "f3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"f{b}").alias("key"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "f0", "f1", "f2", "f3", "bk.band", "bk.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = sum(
+        [
+            F.bit_count(F.col(f"a.f{k}").bitwiseXOR(F.col(f"b.f{k}")))
+            for k in range(4)
+        ],
+        F.lit(0),
+    ).cast("long")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def minhash_md5_oracle_sql(threshold: float = 0.5) -> str:
+    """DuckDB SQL twin of minhash_lsh_pairs(hash_family='md5') —
+    generated programmatically so the 32 signature slots and 16 band
+    keys stay in lockstep with NUM_HASHES/BANDS."""
+    rows = NUM_HASHES // BANDS
+    sig_slots = ",\n         ".join(
+        f"list_min(list_transform(sh, s -> md5(s || ':{j}')))" for j in range(NUM_HASHES)
+    )
+    band_keys = ",\n         ".join(
+        "md5("
+        + " || '|' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
+        + f") AS key{b}"
+        for b in range(BANDS)
+    )
+    key_case = " ".join(f"WHEN {b} THEN key{b}" for b in range(BANDS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - {SHINGLE_N - 1}, 1) + 1),
+             i -> array_to_string(t[i:i+{SHINGLE_N - 1}], ' '))) AS sh
+  FROM toks
+),
+sig AS (
+  SELECT doc_id,
+         [{sig_slots}] AS sig
+  FROM shingled WHERE len(sh) > 0
+),
+keyed AS (
+  SELECT doc_id, sig,
+         {band_keys}
+  FROM sig
+),
+banded AS (
+  SELECT doc_id, sig, b.band,
+         CASE b.band {key_case} END AS key
+  FROM keyed, (SELECT unnest(range(0, {BANDS})) AS band) b
+),
+sizes AS (SELECT band, key, count(*) AS n FROM banded GROUP BY 1, 2),
+capped AS (
+  SELECT banded.* FROM banded JOIN sizes USING (band, key) WHERE n <= {BUCKET_CAP}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_filter(range(1, {NUM_HASHES} + 1), i -> a.sig[i] = b.sig[i]))
+             / CAST({NUM_HASHES} AS DOUBLE), 4) AS jaccard
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE round(len(list_filter(range(1, {NUM_HASHES} + 1), i -> a.sig[i] = b.sig[i]))
+            / CAST({NUM_HASHES} AS DOUBLE), 4) >= {threshold}
+"""
+
+
+def simhash_md5_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB SQL twin of simhash_pairs_md5 — the 64 per-bit vote sums
+    are generated, not hand-written."""
+    nib = "strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1"
+    chunk = lambda b: " + ".join(  # noqa: E731
+        f"({nib.format(pos=1 + 4 * b + k)}) * {16 ** (3 - k)}" for k in range(4)
+    )
+    chunk_cols = ",\n       ".join(f"({chunk(b)}) AS c{b}" for b in range(4))
+    vote_cols = ",\n       ".join(
+        f"sum(CASE WHEN (c{b} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}_{i}"
+        for b in range(4)
+        for i in range(16)
+    )
+    finger_cols = ",\n       ".join(
+        " + ".join(f"(CASE WHEN v{b}_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+        + f" AS f{b}"
+        for b in range(4)
+    )
+    key_case = " ".join(f"WHEN {b} THEN f{b}" for b in range(4))
+    ham = " + ".join(f"bit_count(xor(a.f{k}, b.f{k}))" for k in range(4))
+    return f"""
+WITH dtok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hashed AS (SELECT doc_id, md5(tok) AS h FROM dtok),
+chunks AS (
+  SELECT doc_id,
+       {chunk_cols}
+  FROM hashed
+),
+votes AS (
+  SELECT doc_id,
+       {vote_cols}
+  FROM chunks GROUP BY doc_id
+),
+fingers AS (
+  SELECT doc_id,
+       {finger_cols}
+  FROM votes
+),
+banded AS (
+  SELECT doc_id, f0, f1, f2, f3, b.band,
+         CASE b.band {key_case} END AS key
+  FROM fingers, (SELECT unnest(range(0, 4)) AS band) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({ham} AS BIGINT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE {ham} <= {max_hamming}
+"""
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:

@@ -100,11 +100,20 @@ def lsh_bucket(col, dim: int, planes: int = HYPERPLANES) -> F.Column:
 
 
 def lsh_topk(
-    embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the query's
-    LSH bucket. Trades recall for a corpus scan that prunes to matching
-    buckets (bucket column is precomputable + partitionable at rest)."""
+    LSH bucket(s). The corpus side carries exactly one bucket
+    (precomputable + partitionable at rest); with multiprobe the QUERY
+    side also probes every Hamming-1 neighbor bucket (1 + HYPERPLANES
+    probes), which restores the recall a single 12-bit bucket loses on
+    large corpora — standard multi-probe LSH (Lv et al., VLDB'07).
+    Probe buckets are distinct, so each (query, vector) candidate pair
+    appears at most once — no dedup shuffle needed."""
     corpus = embeddings.select(
         "vec_id",
         _as_double(F.col("embedding")).alias("vec"),
@@ -112,6 +121,15 @@ def lsh_topk(
     q = queries.select(
         "query_id", _as_double(F.col("query_vec")).alias("qvec")
     ).withColumn("bucket", lsh_bucket(F.col("qvec"), dim))
+    if multiprobe:
+        probe_arr = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+                for p in range(HYPERPLANES)
+            ],
+        )
+        q = q.select("query_id", "qvec", F.explode(probe_arr).alias("bucket"))
     scored = (
         corpus.join(F.broadcast(q), "bucket")
         .where(F.col("vec_id") != F.col("query_id"))
@@ -127,6 +145,46 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos", "rank")
     )
+
+
+def lsh_topk_oracle_sql(dim: int, k: int = 5, planes: int = HYPERPLANES) -> str:
+    """DuckDB SQL twin of lsh_topk (multiprobe): the hyperplane
+    constants are the same hashlib-derived values lsh_bucket embeds in
+    the Spark plan, so both engines compute identical buckets."""
+    def arr(p: int) -> str:
+        return "[" + ", ".join(repr(v) for v in _hyperplane(dim, p)) + "]"
+
+    bucket = lambda vec: " + ".join(  # noqa: E731
+        f"(CASE WHEN list_dot_product({vec}, {arr(p)}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    probe_list = "[bucket, " + ", ".join(
+        f"xor(bucket, {1 << p})" for p in range(planes)
+    ) + "]"
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, vec, CAST({bucket('vec')} AS BIGINT) AS bucket FROM v
+),
+q AS (
+  SELECT vec_id AS query_id, vec AS qvec, bucket FROM bucketed WHERE vec_id < 5
+),
+probes AS (
+  SELECT query_id, qvec, unnest({probe_list}) AS bucket FROM q
+),
+scored AS (
+  SELECT p.query_id, c.vec_id,
+         round(list_cosine_similarity(c.vec, p.qvec), 6) AS cos
+  FROM bucketed c JOIN probes p
+    ON c.bucket = p.bucket AND c.vec_id != p.query_id
+)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
 
 
 def plant_near_duplicate_vectors(embeddings: DataFrame) -> DataFrame:

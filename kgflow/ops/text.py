@@ -111,15 +111,17 @@ def classify_language(docs: DataFrame, profiles: DataFrame) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok")
     )
+    # score rounded BEFORE the argmax: double summation order differs
+    # across engines/partitionings, and the rank tie-break must see the
+    # same value on both sides of the oracle comparison
     scored = (
         tok.join(F.broadcast(profiles), "tok")
         .groupBy("doc_id", "lang")
-        .agg(F.sum(F.lit(1.0) / F.col("rank")).alias("score"))
+        .agg(F.round(F.sum(F.lit(1.0) / F.col("rank")), 4).alias("score"))
     )
     w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("predicted_lang"),
-                F.round("score", 4).alias("score"))
+        .select("doc_id", F.col("lang").alias("predicted_lang"), "score")
     )

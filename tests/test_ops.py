@@ -161,3 +161,71 @@ def test_frame_sample_plan(spark):
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     got = multimodal.frame_sample_plan(media, every_ms=1000).collect()
     assert {(r.asset_id, r.frame_ts_ms) for r in got} == {(1, 0), (1, 1000), (1, 2000), (1, 3000)}
+
+
+def _pseudo_vectors(spark, n_clusters=20, per_cluster=10, dim=16):
+    """Deterministic clustered vectors (no RNG state): hash-derived
+    cluster centers, members = center + small hash-derived noise. True
+    nearest neighbors are angularly close — the regime LSH targets
+    (uniform random vectors have near-orthogonal neighbors, which no
+    angular LSH can bucket together)."""
+    import hashlib
+
+    def hval(tag: str) -> float:
+        h = int.from_bytes(hashlib.sha256(tag.encode()).digest()[:8], "big")
+        return (h / 2**63) - 1.0
+
+    rows = []
+    vid = 0
+    for k in range(n_clusters):
+        center = [hval(f"center:{k}:{c}") for c in range(dim)]
+        for m in range(per_cluster):
+            vec = [center[c] + 0.05 * hval(f"noise:{k}:{m}:{c}") for c in range(dim)]
+            rows.append((vid, [float(v) for v in vec], k))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_multiprobe_lsh_recall_floor(spark):
+    """Multi-probe LSH must recover a reasonable share of the exact
+    top-k and strictly dominate single-probe recall on a corpus large
+    enough that single buckets go sparse."""
+    vectors = _pseudo_vectors(spark)
+    queries = vectors.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(vectors, queries, k=5).collect()
+    }
+    multi = {
+        (r.query_id, r.vec_id)
+        for r in similarity.lsh_topk(vectors, queries, dim=16, k=5).collect()
+    }
+    single = {
+        (r.query_id, r.vec_id)
+        for r in similarity.lsh_topk(
+            vectors, queries, dim=16, k=5, multiprobe=False
+        ).collect()
+    }
+    recall_multi = len(exact & multi) / len(exact)
+    recall_single = len(exact & single) / len(exact)
+    assert recall_multi >= recall_single
+    assert recall_multi >= 0.3, f"multiprobe recall {recall_multi:.2f} below floor"
+
+
+def test_md5_twins_match_xxhash_shape(spark, docs):
+    """The md5-seeded oracle twins run the same algorithm: on the
+    planted fixture they must find the same near-dup pairs as the
+    xxhash64 scale path (hash family changes bucketing noise, not the
+    planted positives)."""
+    xx = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(docs, 0.5).collect()}
+    md = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs, 0.5, hash_family="md5").collect()
+    }
+    assert (0, 1) in md  # planted exact dup always collides
+    assert (0, 1) in xx
+    sim_md = {(r.doc_a, r.doc_b) for r in dedup.simhash_pairs_md5(docs, 3).collect()}
+    assert (0, 1) in sim_md
+    assert (0, 2) in sim_md  # bag dup: same token set -> same simhash

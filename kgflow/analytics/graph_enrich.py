@@ -1,0 +1,124 @@
+"""Property-bag enrichment: merge new properties into existing JSON
+bags with new-value precedence and null-delete semantics.
+
+Re-expresses the reference's graph-ready enhancement pass
+(databricks/notebooks/graph_ready_enhancements.py:21,54,61-64,105-108,
+149-151,235), which parses node/edge property JSON, overlays newly
+computed attributes, and re-serializes. Spark-first form: the bags stay
+columnar MapType the whole way —
+
+    from_json(col, MapType)      parse both bags
+    map_zip_with                 overlay, NEW value wins per key
+    map_filter                   drop null-valued entries (deletes)
+    map_from_arrays + array_sort re-serialize with sorted keys so the
+                                 output JSON is byte-deterministic
+
+plus the reference's case-insensitive candidate-column probe
+(graph_ready_enhancements.py:24-34,44-48): pick the first column whose
+lower-cased name matches a candidate list, at plan-build time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgflow.analytics.tables import load
+
+MAP_SS = "map<string,string>"
+
+
+def merge_props_json(existing, new) -> F.Column:
+    """Merge two JSON property bags (string columns) into one JSON bag.
+
+    Semantics (RFC 7386-style, matching the reference's overlay):
+      * key only in `existing`            -> kept
+      * key in both                       -> `new` wins
+      * key only in `new`, non-null value -> added
+      * key in `new` with JSON null       -> DELETED from the result
+    Keys are sorted in the output so equal bags serialize identically.
+    """
+    # a NULL (or unparseable) bag is an empty bag, not a poisoned merge
+    m_old = F.coalesce(F.from_json(existing, MAP_SS), F.from_json(F.lit("{}"), MAP_SS))
+    m_new = F.coalesce(F.from_json(new, MAP_SS), F.from_json(F.lit("{}"), MAP_SS))
+    overlaid = F.map_zip_with(
+        m_old,
+        m_new,
+        # new-value precedence INCLUDING explicit nulls: coalesce would
+        # resurrect the old value on a null-delete, so probe key
+        # membership instead
+        lambda k, v1, v2: F.when(F.map_contains_key(m_new, k), v2).otherwise(v1),
+    )
+    cleaned = F.map_filter(overlaid, lambda k, v: v.isNotNull())
+    keys = F.array_sort(F.map_keys(cleaned))
+    vals = F.transform(keys, lambda k: F.element_at(cleaned, k))
+    return F.to_json(F.map_from_arrays(keys, vals))
+
+
+def pick_column_ci(df: DataFrame, candidates: list[str]) -> str | None:
+    """Case-insensitive candidate-column lookup
+    (graph_ready_enhancements.py:24-34): return the actual column name
+    matching the first candidate present, probing lower-cased names.
+    Plan-build-time reflection over df.columns — no runtime cost."""
+    by_lower = {c.lower(): c for c in df.columns}
+    for cand in candidates:
+        hit = by_lower.get(cand.lower())
+        if hit is not None:
+            return hit
+    return None
+
+
+def enrich_customer_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich Customer node property bags after materialization:
+    overlay a computed value_tier, override c_mktsegment with its
+    normalized (lower-case) form, and null-delete c_name — then explode
+    the merged bag to (node_id, prop_key, prop_value) rows so the
+    result is engine-comparable."""
+    from kgflow.analytics.graph_transform import to_nodes
+
+    c = load(spark, sf_dir, "customer")
+    # candidate-column probe: the TPC-H-ish table uses c_mktsegment;
+    # other sources may call it segment/market_segment
+    seg_col = pick_column_ci(c, ["c_mktsegment", "segment", "market_segment"])
+    nodes = to_nodes(c, "c_custkey", "Customer", ["c_name", seg_col])
+
+    tier = (
+        F.when(F.col("c_acctbal") >= 7500, "platinum")
+        .when(F.col("c_acctbal") >= 5000, "gold")
+        .when(F.col("c_acctbal") >= 2500, "silver")
+        .otherwise("bronze")
+    )
+    enrichment = c.select(
+        F.concat(F.lit("Customer:"), F.col("c_custkey").cast("string")).alias(":ID"),
+        F.to_json(
+            F.struct(
+                F.lit(None).cast("string").alias("c_name"),  # null-delete
+                F.lower(F.col(seg_col)).alias("c_mktsegment"),  # override
+                tier.alias("value_tier"),  # add
+            ),
+            {"ignoreNullFields": "false"},
+        ).alias("new_props"),
+    )
+    merged = nodes.join(enrichment, ":ID").select(
+        F.col(":ID").alias("node_id"),
+        F.from_json(
+            merge_props_json(F.col("properties"), F.col("new_props")), MAP_SS
+        ).alias("bag"),
+    )
+    return merged.select(
+        "node_id", F.explode("bag").alias("prop_key", "prop_value")
+    )
+
+
+ENRICH_CUSTOMER_PROPS_SQL = """
+SELECT 'Customer:' || c_custkey AS node_id, 'c_mktsegment' AS prop_key,
+       lower(c_mktsegment) AS prop_value
+FROM (SELECT DISTINCT ON (c_custkey) * FROM customer ORDER BY c_custkey)
+UNION ALL
+SELECT 'Customer:' || c_custkey, 'value_tier',
+       CASE WHEN c_acctbal >= 7500 THEN 'platinum'
+            WHEN c_acctbal >= 5000 THEN 'gold'
+            WHEN c_acctbal >= 2500 THEN 'silver'
+            ELSE 'bronze' END
+FROM (SELECT DISTINCT ON (c_custkey) * FROM customer ORDER BY c_custkey)
+"""

@@ -321,6 +321,12 @@ _register("kg_extract_triples", _kg_triples)
 # --------------------------------------------------------------------------
 
 from kgflow.analytics import graph_transform as _gt  # noqa: E402
+from kgflow.analytics import graph_enrich as _ge  # noqa: E402
 
 _register("graph_nodes_per_label", _gt.nodes_per_label, _gt.NODES_PER_LABEL_SQL)
 _register("graph_edges_per_type", _gt.edges_per_type, _gt.EDGES_PER_TYPE_SQL)
+_register(
+    "graph_enrich_customer_props",
+    _ge.enrich_customer_props,
+    _ge.ENRICH_CUSTOMER_PROPS_SQL,
+)

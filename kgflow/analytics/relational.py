@@ -350,10 +350,18 @@ JOIN (SELECT l_orderkey, max(l_extendedprice) AS max_price
 """
 
 
+THETA_CANDIDATE_N = 20
+
+
 def q_theta_join_category_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 re-expressed: the reference's filtered-cross-join candidates
     (product-recommendations.py:144-153) restricted to an equi-join on a
-    category key (p_type) to avoid the BNLJ (SURVEY §2.3 note)."""
+    category key (p_type) to avoid the BNLJ (SURVEY §2.3 note), then
+    windowed to the top-N candidates per anchor — the reference itself
+    windows to top_n right after its cross join
+    (product-recommendations.py:144-176). Without the cap the output is
+    sum_type(popular x parts) ~ quadratic in sf (665k rows already at
+    sf0.01, billions at 100x); with it, O(anchors x N)."""
     p = load(spark, sf_dir, "part")
     popular = (
         load(spark, sf_dir, "lineitem")
@@ -364,9 +372,15 @@ def q_theta_join_category_candidates(spark: SparkSession, sf_dir: str) -> DataFr
     pop_parts = p.join(popular, p.p_partkey == popular.l_partkey).select(
         F.col("p_partkey").alias("pop_key"), F.col("p_type").alias("pop_type")
     )
-    return (
+    cand = (
         p.join(pop_parts, (p.p_type == pop_parts.pop_type) & (p.p_partkey != pop_parts.pop_key))
         .select(F.col("p_partkey").alias("candidate"), F.col("pop_key").alias("anchor"), "p_type")
+    )
+    w = W.partitionBy("anchor").orderBy(F.col("candidate"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= THETA_CANDIDATE_N)
+        .select("candidate", "anchor", "p_type")
     )
 
 
@@ -377,9 +391,15 @@ WITH popular AS (
     SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey
   ) c ON p_partkey = l_partkey
   WHERE cnt >= 5
+),
+cand AS (
+  SELECT p.p_partkey AS candidate, pop_key AS anchor, p.p_type
+  FROM part p JOIN popular ON p.p_type = pop_type AND p.p_partkey != pop_key
 )
-SELECT p.p_partkey AS candidate, pop_key AS anchor, p.p_type
-FROM part p JOIN popular ON p.p_type = pop_type AND p.p_partkey != pop_key
+SELECT candidate, anchor, p_type FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor ORDER BY candidate) AS rn
+  FROM cand
+) WHERE rn <= 20
 """
 
 
@@ -507,6 +527,15 @@ FROM events GROUP BY event_type
 # --------------------------------------------------------------------------
 
 NEIGHBOR_K = 10
+# Parts bought by more than this many customers are excluded from the
+# similarity self-join: a part with B buyers contributes B^2 pair rows,
+# so one viral part at 10^5 buyers would emit 10^10 rows before the
+# groupBy — while carrying almost no signal (everyone owns it). This is
+# the co-occurrence stop-word cap, the same skew guard as BUCKET_CAP in
+# kgflow/stages/link.py. 256 is ~5x the hottest part at sf0.1, so test
+# results are unchanged; at 100x the data the cap is what keeps the
+# stage linear.
+PART_BUYER_CAP = 256
 
 
 def q_copurchase_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,10 +544,11 @@ def q_copurchase_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: the reference's raw 3-way self-join counts *paths*
     (quadratic in part popularity — the same blow-up as its
     product-recommendations.py:59-67 self-join, which at sf0.1 here
-    materializes ~7x10^8 rows). We aggregate customer similarity
-    FIRST, cap to the top-NEIGHBOR_K similar customers per customer
-    (window), then expand only those neighbors' purchases:
-    J4 + W1 + J1 + J3 + A1 composed, every intermediate bounded."""
+    materializes ~7x10^8 rows). We drop viral parts (PART_BUYER_CAP),
+    aggregate customer similarity, cap to the top-NEIGHBOR_K similar
+    customers per customer (window), then expand only those neighbors'
+    purchases: J4 + W1 + J1 + J3 + A1 composed, every intermediate
+    bounded."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     purchases = (
@@ -526,8 +556,15 @@ def q_copurchase_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
     )
-    p1 = purchases.alias("p1")
-    p2 = purchases.alias("p2")
+    informative = (
+        purchases.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_buyers"))
+        .where(F.col("n_buyers") <= PART_BUYER_CAP)
+        .select("part")
+    )
+    sim_input = purchases.join(informative, "part")
+    p1 = sim_input.alias("p1")
+    p2 = sim_input.alias("p2")
     sim = (
         p1.join(p2, (F.col("p1.part") == F.col("p2.part")) & (F.col("p1.cust") != F.col("p2.cust")))
         .groupBy(F.col("p1.cust").alias("cust"), F.col("p2.cust").alias("other"))
@@ -562,10 +599,16 @@ WITH purchases AS (
   SELECT DISTINCT o_custkey AS cust, l_partkey AS part
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
+informative AS (
+  SELECT part FROM purchases GROUP BY part HAVING count(*) <= 256
+),
+sim_input AS (
+  SELECT p.* FROM purchases p JOIN informative i ON p.part = i.part
+),
 sim AS (
   SELECT p1.cust AS cust, p2.cust AS other, count(*) AS shared
-  FROM purchases p1
-  JOIN purchases p2 ON p1.part = p2.part AND p1.cust != p2.cust
+  FROM sim_input p1
+  JOIN sim_input p2 ON p1.part = p2.part AND p1.cust != p2.cust
   GROUP BY 1, 2
 ),
 neighbors AS (

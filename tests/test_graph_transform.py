@@ -89,3 +89,39 @@ def test_silver_cleaning_rules_on_planted_bad_rows(spark):
         [(1, 5), (2, 0), (3, 6), (4, 1)], "id int, rating int"
     )
     assert {r.id for r in reviews.where(F.col("rating").between(1, 5)).collect()} == {1, 4}
+
+
+def test_merge_props_json_semantics(spark):
+    """Key precedence + null-delete + sorted-key determinism of the
+    property-bag merge (reference graph_ready_enhancements.py:54-64)."""
+    from pyspark.sql import functions as F
+
+    from kgflow.analytics.graph_enrich import merge_props_json
+
+    df = spark.createDataFrame(
+        [
+            ('{"a":"1","b":"2"}', '{"b":"9","c":"3"}'),   # overlay + add
+            ('{"a":"1","b":"2"}', '{"a":null}'),           # null-delete
+            ('{"z":"1","a":"2"}', "{}"),                   # no-op, key sort
+            (None, '{"k":"v"}'),                           # null existing bag
+        ],
+        "old string, new string",
+    )
+    got = [
+        r.merged
+        for r in df.select(
+            merge_props_json(F.col("old"), F.col("new")).alias("merged")
+        ).collect()
+    ]
+    assert got[0] == '{"a":"1","b":"9","c":"3"}'
+    assert got[1] == '{"b":"2"}'
+    assert got[2] == '{"a":"2","z":"1"}'
+    assert got[3] == '{"k":"v"}'
+
+
+def test_pick_column_ci(spark):
+    from kgflow.analytics.graph_enrich import pick_column_ci
+
+    df = spark.createDataFrame([(1, "x")], "id int, Market_Segment string")
+    assert pick_column_ci(df, ["segment", "market_segment"]) == "Market_Segment"
+    assert pick_column_ci(df, ["nope"]) is None

@@ -147,6 +147,8 @@ def _file_record(i: int, n_files: int) -> dict:
     if i == 2:
         body = "\n".join(_filler_line(r) for _ in range(5))
         return _row(repo, path, commit, lang, body, [], [])
+    if i == 9:  # NULL content: engines must still emit WRITTEN_IN
+        return _row(repo, path, commit, lang, None, [], [])
     if i == 4:  # same (repo, path) as i=3, different commit
         three = _file_record(3, n_files)
         return {
@@ -175,11 +177,19 @@ def _file_record(i: int, n_files: int) -> dict:
     if i == 5:  # unicode identifiers
         decls = ["café_handler", "übermodel"]
         lang, path = "python", f"src/pkg0/mod_{i}.py"
-    body = _render(lang, decls, imports, r, big=(i == 6))
-    return _row(repo, path, commit, lang, body, decls, imports)
+    # call sites (CALLS predicate): a deterministic subset of this
+    # file's own declarations, invoked at top level — only for langs
+    # with a call-site rule
+    calls = []
+    if lang in ("python", "javascript", "go"):
+        calls = [d for d in decls if r.random() < 0.5]
+    body = _render(lang, decls, imports, r, big=(i == 6), calls=calls)
+    return _row(repo, path, commit, lang, body, decls, imports, calls)
 
 
-def _render(lang: str, decls: list[str], imports: list[str], r: random.Random, big: bool) -> str:
+def _render(lang: str, decls: list[str], imports: list[str], r: random.Random,
+            big: bool, calls: list[str] | None = None) -> str:
+    calls = calls or []
     lines: list[str] = []
     fill = lambda: lines.extend(_filler_block(r))  # noqa: E731
     fill()
@@ -195,6 +205,8 @@ def _render(lang: str, decls: list[str], imports: list[str], r: random.Random, b
                 lines.append(f"def {s}(x, y):")
                 lines.append("    return x")
             fill()
+        for c in calls:
+            lines.append(f"{c}(1, 2)")
     elif lang == "javascript":
         for m in imports:
             if r.random() < 0.5:
@@ -208,6 +220,8 @@ def _render(lang: str, decls: list[str], imports: list[str], r: random.Random, b
             else:
                 lines.append(f"function {s}(a, b) {{ return a }}")
             fill()
+        for c in calls:
+            lines.append(f"{c}(1)")
     elif lang == "java":
         for m in imports:
             lines.append(f"import {m}.Core;")
@@ -222,6 +236,8 @@ def _render(lang: str, decls: list[str], imports: list[str], r: random.Random, b
         for s in decls:
             lines.append(f"func {s}(n int) int {{ return n }}")
             fill()
+        for c in calls:
+            lines.append(f"{c}(7)")
     elif lang == "sql":
         for s in decls:
             lines.append(f"CREATE TABLE {s} (id INT);")
@@ -234,14 +250,17 @@ def _render(lang: str, decls: list[str], imports: list[str], r: random.Random, b
     return "\n".join(lines)
 
 
-def _row(repo: str, path: str, commit: str, lang: str, content: str,
-         decls: list[str], imports: list[str]) -> dict:
+def _row(repo: str, path: str, commit: str, lang: str, content: str | None,
+         decls: list[str], imports: list[str],
+         calls: list[str] | None = None) -> dict:
     file_ref = f"{repo}/{path}"
     golden: list[tuple[str, str, str]] = [(file_ref, "WRITTEN_IN", lang)]
     for s in decls:
         golden.append((repo, "DECLARES", s))
     for m in imports:
         golden.append((file_ref, "IMPORTS", m))
+    for c in calls or []:
+        golden.append((file_ref, "CALLS", c))
     return {
         "repo": repo, "path": path, "commit": commit, "lang": lang,
         "content": content, "golden": golden,

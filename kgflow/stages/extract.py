@@ -51,14 +51,20 @@ RULES: list[tuple[str, str, str]] = [
     ("python", "IMPORTS", rf"(?m)^from\s+({DOTTED})\s+import"),
     ("python", "DECLARES", rf"(?m)^def\s+({IDENT})"),
     ("python", "DECLARES", rf"(?m)^class\s+({IDENT})"),
+    # call-site detection (schemas.py CALLS predicate): a bare
+    # `ident(` at line start — declaration keywords (def/class/
+    # function/func) put a space before the name, so they never match
+    ("python", "CALLS", rf"(?m)^({IDENT})\("),
     ("javascript", "IMPORTS", rf"(?m)^import\s+.*?\s+from\s+'([^']+)'"),
     ("javascript", "IMPORTS", r"require\('([^']+)'\)"),
     ("javascript", "DECLARES", rf"(?m)^function\s+({IDENT})"),
     ("javascript", "DECLARES", rf"(?m)^class\s+({IDENT})"),
+    ("javascript", "CALLS", rf"(?m)^({IDENT})\("),
     ("java", "IMPORTS", rf"(?m)^import\s+({DOTTED})\.{IDENT}\s*;"),
     ("java", "DECLARES", rf"(?m)^(?:public\s+|final\s+)*class\s+({IDENT})"),
     ("go", "IMPORTS", r'(?m)^import\s+"([^"]+)"'),
     ("go", "DECLARES", rf"(?m)^func\s+({IDENT})"),
+    ("go", "CALLS", rf"(?m)^({IDENT})\("),
     ("sql", "DECLARES", rf"(?mi)^CREATE\s+TABLE\s+({IDENT})"),
     ("sql", "IMPORTS", rf"(?i)\bFROM\s+({IDENT})"),
 ]
@@ -79,11 +85,16 @@ def _extract_native(ingested: DataFrame) -> DataFrame:
         # (element, index) by F.transform
         return lambda m: F.struct(F.lit(pred).alias("pred"), m.alias("obj"))
 
+    # NULL content must behave like empty content: regexp_extract_all of
+    # NULL is NULL, and concat-with-NULL nulls the whole mention array,
+    # which would silently drop the WRITTEN_IN triple the pandas engine
+    # still emits (engine-equivalence bug found in round-1 review)
+    content = F.coalesce(F.col("content"), F.lit(""))
     per_lang = []
     for lang in _LANGS:
         arrays = [
             F.transform(
-                F.regexp_extract_all(F.col("content"), F.lit(pattern), F.lit(1)),
+                F.regexp_extract_all(content, F.lit(pattern), F.lit(1)),
                 tagger(pred),
             )
             for rule_lang, pred, pattern in RULES
@@ -183,17 +194,32 @@ def extract(ingested: DataFrame, engine: str = "native") -> DataFrame:
 
 
 def extract_with_manifest(
-    source: DataFrame, manifest: DataFrame, engine: str = "native"
+    source: DataFrame,
+    manifest: DataFrame,
+    engine: str = "native",
+    broadcast: bool = True,
+    buckets: int = 256,
 ) -> DataFrame:
     """Extraction that PROPAGATES the ingest manifest's content_sha by
     file_id instead of recomputing it — hash once, join by key.
 
     The corpus payload is hashed exactly once (in the ingest-manifest
     pass); extraction carries the lock-free xxhash file_id through the
-    sha slot and swaps the real sha back in with a broadcast join on
-    the narrow manifest. At 10^12 rows the manifest no longer
-    broadcasts — bucket both sides on file_id instead; the structure
-    (single hashing pass, key-propagated lineage) is what carries over.
+    sha slot and swaps the real sha back in with a join on the narrow
+    manifest. Two join modes:
+
+      * ``broadcast=True`` (default): manifest ships to every executor —
+        right up to O(10^8) files, after which it exceeds driver memory;
+      * ``broadcast=False``: both sides repartition on file_id and join
+        shuffle-hash — the 10^12-file path SCALE.md §2 promises; the
+        triples side shuffles once on a key it already carries, the
+        manifest side is narrow (file_id, content_sha).
+
+    The manifest MUST be unique per file_id: (repo, path, commit) is the
+    contract key of the source table, and a duplicate entry would fan
+    every triple out N times (and could attach the wrong sha). Enforced
+    here with dropDuplicates — cheap on the narrow side — rather than
+    trusted.
 
     The invariant is unchanged: src_sha equals sha256(content) of the
     originating row (tests assert equality against an inline recompute).
@@ -210,15 +236,20 @@ def extract_with_manifest(
         ).alias("content_sha"),  # file_id riding the sha slot until the join
     )
     trip = extract(keyed, engine=engine)
-    return (
-        trip.withColumnRenamed("src_sha", "file_id")
-        .join(F.broadcast(manifest.select("file_id", "content_sha")), "file_id")
-        .select(
-            "subj",
-            "pred",
-            "obj",
-            F.col("content_sha").alias("src_sha"),
-            "repo",
-            "lang",
+    narrow = manifest.select("file_id", "content_sha").dropDuplicates(["file_id"])
+    trip = trip.withColumnRenamed("src_sha", "file_id")
+    if broadcast:
+        joined = trip.join(F.broadcast(narrow), "file_id")
+    else:
+        joined = (
+            trip.repartition(buckets, "file_id")
+            .join(narrow.repartition(buckets, "file_id").hint("shuffle_hash"), "file_id")
         )
+    return joined.select(
+        "subj",
+        "pred",
+        "obj",
+        F.col("content_sha").alias("src_sha"),
+        "repo",
+        "lang",
     )

@@ -31,15 +31,26 @@ def ingest(source: DataFrame) -> DataFrame:
         "lang",
         "content",
         # Arrow-vectorized sha256: the builtin sha2 anti-scales with
-        # thread count (JVM digest lock) — see kgflow/functions.py
-        sha256_hex(F.col("content")).alias("content_sha"),
+        # thread count (JVM digest lock) — see kgflow/functions.py.
+        # NULL content hashes as the empty string so the sha invariant
+        # (every triple's src_sha exists in the ingest table) holds for
+        # null-content rows too.
+        sha256_hex(F.coalesce(F.col("content"), F.lit(""))).alias("content_sha"),
         # internal join key, not part of the sha invariant — a 128-bit
         # xxhash64 pair is collision-safe here and lock-free
         F.concat(
             F.lpad(F.hex(F.xxhash64("repo", "path", "commit")), 16, "0"),
             F.lpad(F.hex(F.xxhash64("commit", "path", "repo")), 16, "0"),
         ).alias("file_id"),
-        F.spark_partition_id().alias("ingest_partition"),
+        # stable lineage partition: a pure function of the row key, NOT
+        # spark_partition_id() — the physical partitioning varies with
+        # cores/maxPartitionBytes/--input-partitions, which made the
+        # persisted ingest table non-reproducible across parallelism
+        # levels (round-1 advice). 1024 buckets bound per-partition
+        # lineage cardinality independent of cluster size.
+        F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(1024))
+        .cast("int")
+        .alias("ingest_partition"),
     )
 
 

@@ -21,6 +21,28 @@ import sys
 import time
 
 
+def _input_fingerprint(spark, path: str) -> str:
+    """Fingerprint the input DATA, not just its path: sorted file
+    listing (name, size, mtime) via the Hadoop FS API. A path-only
+    fingerprint let a changed corpus silently resume stale stage tables
+    (round-1 advice); with this, any file added/removed/rewritten under
+    --input invalidates every stage manifest."""
+    import hashlib
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    entries = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        entries.append(
+            f"{st.getPath().toString()}|{st.getLen()}|{st.getModificationTime()}"
+        )
+    h = hashlib.sha256("\n".join(sorted(entries)).encode()).hexdigest()[:16]
+    return f"{path}#n={len(entries)}#ls={h}"
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="kgflow KG-construction pipeline")
     src = ap.add_mutually_exclusive_group(required=True)
@@ -88,7 +110,7 @@ def main(argv: list[str] | None = None) -> int:
             n_parts = 3 * spark.sparkContext.defaultParallelism
         if n_parts:
             source = source.repartition(n_parts)
-        corpus_fp = args.input
+        corpus_fp = _input_fingerprint(spark, args.input)
 
     t0 = time.monotonic()
     report = run_pipeline(

@@ -92,3 +92,64 @@ def test_manifest_join_path_identical_to_inline(spark):
     joined = extract_with_manifest(src, ingest_manifest(src), engine="native")
     assert inline.exceptAll(joined).isEmpty()
     assert joined.exceptAll(inline).isEmpty()
+
+
+def test_calls_predicate_extracted(spark):
+    """CALLS rules (schemas.py predicate, previously dead) emit
+    (file_ref, CALLS, callee) for python/javascript/go call sites in
+    both engines; P/R golden covers exactness."""
+    src = fixtures.source_files(spark, N_FILES)
+    for engine in ("native", "pandas"):
+        got = _distinct_triples(extract(ingest(src), engine=engine))
+        calls = {(s, o) for s, p, o in got if p == "CALLS"}
+        assert calls, f"{engine}: no CALLS triples"
+        # every CALLS subj is a file_ref (contains a path), never a repo
+        assert all("/src/" in s for s, _ in calls)
+
+
+def test_null_content_emits_written_in_both_engines(spark):
+    """NULL content must behave like empty content (round-1 advice):
+    both engines emit the WRITTEN_IN triple, nothing else."""
+    src = fixtures.source_files(spark, 10)  # includes i=9 (NULL content)
+    rec9 = fixtures._file_record(9, 10)
+    assert rec9["content"] is None
+    ref9 = f"{rec9['repo']}/{rec9['path']}"
+    for engine in ("native", "pandas"):
+        got = extract(ingest(src), engine=engine)
+        mine = [
+            (r.subj, r.pred, r.obj)
+            for r in got.where(F.col("subj") == ref9).collect()
+        ]
+        assert mine == [(ref9, "WRITTEN_IN", rec9["lang"])], f"{engine}: {mine}"
+
+
+def test_bucketed_manifest_join_no_broadcast(spark):
+    """broadcast=False (the 10^12-file path): byte-identical triples,
+    and the physical plan must contain no BroadcastExchange."""
+    from kgflow.stages.extract import extract_with_manifest
+    from kgflow.stages.ingest import ingest_manifest
+
+    src = fixtures.source_files(spark, 120)
+    bcast = extract_with_manifest(src, ingest_manifest(src), engine="native")
+    bucketed = extract_with_manifest(
+        src, ingest_manifest(src), engine="native", broadcast=False
+    )
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan, plan
+    assert bcast.exceptAll(bucketed).isEmpty()
+    assert bucketed.exceptAll(bcast).isEmpty()
+
+
+def test_manifest_duplicates_do_not_fan_out(spark):
+    """A duplicated manifest row must not duplicate triples (round-1
+    advice: inner join on non-unique file_id fans out every triple)."""
+    from kgflow.stages.extract import extract_with_manifest
+    from kgflow.stages.ingest import ingest_manifest
+
+    src = fixtures.source_files(spark, 40)
+    man = ingest_manifest(src)
+    doubled = man.unionByName(man)  # every file_id twice
+    clean = extract_with_manifest(src, man, engine="native")
+    dirty = extract_with_manifest(src, doubled, engine="native")
+    assert clean.exceptAll(dirty).isEmpty()
+    assert dirty.exceptAll(clean).isEmpty()

@@ -8,8 +8,13 @@ Prints ONE JSON line:
    "queries": {...}, "sf": ..., "kg": {...}}
 
 Each query is forced end-to-end with a noop-format write (full compute,
-no sink cost). One JVM for everything — per-query numbers exclude Spark
-startup.
+no sink cost) and timed KGFLOW_BENCH_ITERS times (default 3); the
+reported number is the MEDIAN, so one GC pause can't fake a regression.
+One JVM for everything — per-query numbers exclude Spark startup.
+
+Every run also appends one record per query to BENCH/history.jsonl
+(ts, sf, cpus, per-iteration timings) so cross-round comparisons are
+per-query, not total-only.
 """
 
 from __future__ import annotations
@@ -17,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -24,6 +30,8 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 KG_FILES = int(os.environ.get("KGFLOW_BENCH_FILES", "60000"))
+ITERS = int(os.environ.get("KGFLOW_BENCH_ITERS", "3"))
+HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "history.jsonl")
 
 BENCH_QUERIES = [
     # scan + agg
@@ -42,11 +50,17 @@ BENCH_QUERIES = [
     "customer_recency",
     "sql_api_revenue_by_nation",
     "graph_edges_per_type",
+    "graph_enrich_customer_props",
+    "theta_join_category_candidates",
+    "events_sessionization",
     # training-data ops
     "dedup_exact",
     "dedup_normalized",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "langid_predict",
     "text_quality",
     "token_stats_by_lang",
 ]
@@ -64,20 +78,30 @@ def main() -> int:
 
     spark = get_spark("kgflow-bench", cores=CPUS)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    run_ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
 
     # warm the JVM + parquet footers once
     _force(QUERIES["pricing_summary"](spark, SF_DIR))
 
     timings: dict[str, float] = {}
+    history: list[dict] = []
     for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        _force(QUERIES[name](spark, SF_DIR))
-        timings[name] = round(time.monotonic() - t0, 3)
+        iters = []
+        for _ in range(ITERS):
+            t0 = time.monotonic()
+            _force(QUERIES[name](spark, SF_DIR))
+            iters.append(round(time.monotonic() - t0, 3))
+        timings[name] = round(statistics.median(iters), 3)
+        history.append(
+            {"ts": run_ts, "sf": sf, "cpus": CPUS, "query": name, "iters": iters,
+             "median": timings[name]}
+        )
 
     # KG pipeline throughput (the BASELINE.json headline metric).
     # The synthetic corpus is materialized to parquet FIRST (untimed):
     # the measured number is pipeline throughput over a stored table,
-    # not Python generator speed.
+    # not Python generator speed. One iteration — it IS a multi-stage
+    # job with internal fan-out; its variance is dominated by real work.
     kg_dir = tempfile.mkdtemp(prefix="kgflow_bench_")
     try:
         corpus_path = os.path.join(kg_dir, "corpus")
@@ -95,6 +119,19 @@ def main() -> int:
     finally:
         shutil.rmtree(kg_dir, ignore_errors=True)
     timings["kg_pipeline"] = round(kg_elapsed, 3)
+    history.append(
+        {"ts": run_ts, "sf": sf, "cpus": CPUS, "query": "kg_pipeline",
+         "iters": [timings["kg_pipeline"]], "median": timings["kg_pipeline"],
+         "n_files": KG_FILES, "triples": report.triples_emitted}
+    )
+
+    try:
+        os.makedirs(os.path.dirname(HISTORY), exist_ok=True)
+        with open(HISTORY, "a") as fh:
+            for rec in history:
+                fh.write(json.dumps(rec) + "\n")
+    except OSError:
+        pass  # history is best-effort; the stdout contract is what matters
 
     total = round(sum(timings.values()), 3)
     print(
@@ -104,6 +141,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "iters": ITERS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "kg": {
                     "n_files": KG_FILES,

@@ -224,21 +224,28 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_pairs_md5(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """md5 twin of simhash_pairs: the same 64-bit bit-majority simhash
-    and 4 x 16-bit pigeonhole banding, but per-token hashes come from
-    md5 (4 x 16-bit chunks of the hex digest) instead of xxhash64 —
-    bit-reproducible in DuckDB, so the whole algorithm (fingerprint,
-    banding, Hamming verify) gets a value-hash oracle check. The
-    fingerprint is carried as 4 small ints (f0..f3 = the band keys)
-    to avoid signed-64-bit edge cases across engines."""
+def _simhash_fingers(docs: DataFrame, hash_family: str) -> DataFrame:
+    """(doc_id, f0..f3): 64-bit bit-majority simhash carried as 4 x
+    16-bit band values. Explode + 64 integer vote sums — order-
+    independent (partition-invariant) and ~8x faster than a 64-wide
+    higher-order-function fold, whose generated code Catalyst cannot
+    keep in one codegen stage."""
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok")
     )
-    h = F.md5(F.col("tok"))
-    chunks = [
-        F.conv(F.substring(h, 1 + 4 * b, 4), 16, 10).cast("int") for b in range(4)
-    ]
+    if hash_family == "xxhash64":
+        h = F.xxhash64(F.col("tok"))
+        chunks = [
+            F.shiftright(h, 16 * b).bitwiseAND(F.lit(0xFFFF)).cast("int")
+            for b in range(4)
+        ]
+    elif hash_family == "md5":
+        h = F.md5(F.col("tok"))
+        chunks = [
+            F.conv(F.substring(h, 1 + 4 * b, 4), 16, 10).cast("int") for b in range(4)
+        ]
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     votes = [
         F.sum(
             F.when(F.shiftright(chunks[b], i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -247,7 +254,7 @@ def simhash_pairs_md5(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         for i in range(16)
     ]
     voted = tok.groupBy("doc_id").agg(*votes)
-    fingers = voted.select(
+    return voted.select(
         "doc_id",
         *[
             sum(
@@ -256,10 +263,16 @@ def simhash_pairs_md5(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                     for i in range(16)
                 ],
                 F.lit(0),
-            ).alias(f"f{b}")
+            ).cast("long").alias(f"f{b}")
             for b in range(4)
         ],
     )
+
+
+def _simhash_banded_pairs(fingers: DataFrame, max_hamming: int) -> DataFrame:
+    """Band on the 4 x 16-bit blocks (any pair within Hamming distance 3
+    shares at least one block — the pigeonhole blocking of Manku et al.,
+    WWW'07), verify by exact popcount of the per-block XORs."""
     banded = fingers.select(
         "doc_id",
         "f0",
@@ -295,6 +308,14 @@ def simhash_pairs_md5(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_pairs_md5(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """md5 twin of simhash_pairs: identical fingerprint/banding/verify
+    logic (shared helpers above), but per-token hashes come from md5 —
+    bit-reproducible in DuckDB, so the whole algorithm gets a
+    value-hash oracle check (simhash_md5_oracle_sql)."""
+    return _simhash_banded_pairs(_simhash_fingers(docs, "md5"), max_hamming)
 
 
 def minhash_md5_oracle_sql(threshold: float = 0.5) -> str:
@@ -405,79 +426,19 @@ WHERE {ham} <= {max_hamming}
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """64-bit simhash: per-token xxhash64, bit-majority vote.
-
-    Vote per bit = sum over tokens of (+1 if bit set else -1); bit in
-    fingerprint iff vote > 0. Expressed with explode-free higher-order
-    functions: aggregate over the token array keeps everything row-local.
-    """
-    toks = F.array_distinct(_tokens(F.col("text")))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # shift amounts must be Python ints (shiftright takes no Column),
-    # so the 64 bit positions are unrolled at plan-build time
-    votes = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                    for i in range(64)
-                ]
-            ),
-            lambda a, v: a + v,
-        ),
+    """64-bit simhash: per-token xxhash64, bit-majority vote, packed
+    into one long (bit 16b+i of the fingerprint = bit i of band b)."""
+    fingers = _simhash_fingers(docs, "xxhash64")
+    packed = (
+        F.col("f0")
+        .bitwiseOR(F.shiftleft(F.col("f1"), 16))
+        .bitwiseOR(F.shiftleft(F.col("f2"), 32))
+        .bitwiseOR(F.shiftleft(F.col("f3"), 48))
     )
-    fp = F.aggregate(
-        F.array(
-            *[
-                F.when(votes[i] > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                    F.lit(0).cast("long")
-                )
-                for i in range(64)
-            ]
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
-    return docs.select("doc_id", fp.alias("simhash"))
+    return fingers.select("doc_id", packed.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup candidates by simhash banding (4 x 16-bit blocks: any
-    pair within Hamming distance 3 shares at least one block — the
-    pigeonhole blocking of Manku et al., WWW'07), verified by exact
-    popcount of the XOR."""
-    fps = simhash_fingerprints(docs)
-    banded = fps.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band", "bk.key")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(b, ["band", "key"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-        .where(F.col("hamming") <= max_hamming)
-    )
+    """Near-dup candidates by simhash banding, xxhash64 family (the
+    100 TB fast path; simhash_pairs_md5 is the oracle-checked twin)."""
+    return _simhash_banded_pairs(_simhash_fingers(docs, "xxhash64"), max_hamming)

@@ -372,10 +372,23 @@ def q_theta_join_category_candidates(spark: SparkSession, sf_dir: str) -> DataFr
     pop_parts = p.join(popular, p.p_partkey == popular.l_partkey).select(
         F.col("p_partkey").alias("pop_key"), F.col("p_type").alias("pop_type")
     )
-    cand = (
-        p.join(pop_parts, (p.p_type == pop_parts.pop_type) & (p.p_partkey != pop_parts.pop_key))
-        .select(F.col("p_partkey").alias("candidate"), F.col("pop_key").alias("anchor"), "p_type")
+    # top-N-by-candidate-key per anchor == the (N+1) smallest same-type
+    # parts minus the anchor itself — so prune the CANDIDATE side to
+    # N+1 rows per type BEFORE the join instead of windowing the joined
+    # output: the quadratic intermediate (2.6M rows at sf0.1, billions
+    # at 100x) is never materialized. Equal output by construction.
+    wt = W.partitionBy("p_type").orderBy("p_partkey")
+    lead_parts = (
+        p.select("p_type", "p_partkey")
+        .withColumn("rn", F.row_number().over(wt))
+        .where(F.col("rn") <= THETA_CANDIDATE_N + 1)
+        .select(F.col("p_partkey").alias("candidate"), "p_type")
     )
+    cand = lead_parts.join(
+        pop_parts,
+        (F.col("p_type") == pop_parts.pop_type)
+        & (F.col("candidate") != pop_parts.pop_key),
+    ).select("candidate", F.col("pop_key").alias("anchor"), "p_type")
     w = W.partitionBy("anchor").orderBy(F.col("candidate"))
     return (
         cand.withColumn("rn", F.row_number().over(w))
@@ -556,13 +569,17 @@ def q_copurchase_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
     )
-    informative = (
+    # anti-join against the HOT list, not inner-join against the cold
+    # one: the hot list is tiny (usually empty), so it broadcasts and
+    # the cap costs ~nothing when no part is viral — measured 8.8s vs
+    # 16.5s for the inner-join formulation at sf0.1
+    hot = (
         purchases.groupBy("part")
         .agg(F.count(F.lit(1)).alias("n_buyers"))
-        .where(F.col("n_buyers") <= PART_BUYER_CAP)
+        .where(F.col("n_buyers") > PART_BUYER_CAP)
         .select("part")
     )
-    sim_input = purchases.join(informative, "part")
+    sim_input = purchases.join(F.broadcast(hot), "part", "left_anti")
     p1 = sim_input.alias("p1")
     p2 = sim_input.alias("p2")
     sim = (
@@ -599,11 +616,11 @@ WITH purchases AS (
   SELECT DISTINCT o_custkey AS cust, l_partkey AS part
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
-informative AS (
-  SELECT part FROM purchases GROUP BY part HAVING count(*) <= 256
+hot AS (
+  SELECT part FROM purchases GROUP BY part HAVING count(*) > 256
 ),
 sim_input AS (
-  SELECT p.* FROM purchases p JOIN informative i ON p.part = i.part
+  SELECT p.* FROM purchases p WHERE p.part NOT IN (SELECT part FROM hot)
 ),
 sim AS (
   SELECT p1.cust AS cust, p2.cust AS other, count(*) AS shared

@@ -74,13 +74,10 @@ def enrich_customer_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized (lower-case) form, and null-delete c_name — then explode
     the merged bag to (node_id, prop_key, prop_value) rows so the
     result is engine-comparable."""
-    from kgflow.analytics.graph_transform import to_nodes
-
     c = load(spark, sf_dir, "customer")
     # candidate-column probe: the TPC-H-ish table uses c_mktsegment;
     # other sources may call it segment/market_segment
     seg_col = pick_column_ci(c, ["c_mktsegment", "segment", "market_segment"])
-    nodes = to_nodes(c, "c_custkey", "Customer", ["c_name", seg_col])
 
     tier = (
         F.when(F.col("c_acctbal") >= 7500, "platinum")
@@ -88,22 +85,28 @@ def enrich_customer_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("c_acctbal") >= 2500, "silver")
         .otherwise("bronze")
     )
-    enrichment = c.select(
-        F.concat(F.lit("Customer:"), F.col("c_custkey").cast("string")).alias(":ID"),
-        F.to_json(
-            F.struct(
-                F.lit(None).cast("string").alias("c_name"),  # null-delete
-                F.lower(F.col(seg_col)).alias("c_mktsegment"),  # override
-                tier.alias("value_tier"),  # add
-            ),
-            {"ignoreNullFields": "false"},
-        ).alias("new_props"),
+    # the existing bag is exactly what graph_transform.to_nodes
+    # serializes for Customer nodes; both bags derive from the same
+    # customer row, so build them in ONE projection — a node⋈enrichment
+    # self-join here would shuffle the table twice for nothing (the
+    # merge operator itself is row-local either way)
+    existing = F.to_json(F.struct(F.col("c_name"), F.col(seg_col)))
+    new = F.to_json(
+        F.struct(
+            F.lit(None).cast("string").alias("c_name"),  # null-delete
+            F.lower(F.col(seg_col)).alias("c_mktsegment"),  # override
+            tier.alias("value_tier"),  # add
+        ),
+        {"ignoreNullFields": "false"},
     )
-    merged = nodes.join(enrichment, ":ID").select(
-        F.col(":ID").alias("node_id"),
-        F.from_json(
-            merge_props_json(F.col("properties"), F.col("new_props")), MAP_SS
-        ).alias("bag"),
+    merged = (
+        c.dropDuplicates(["c_custkey"])  # MERGE idempotence, as in to_nodes
+        .select(
+            F.concat(F.lit("Customer:"), F.col("c_custkey").cast("string")).alias(
+                "node_id"
+            ),
+            F.from_json(merge_props_json(existing, new), MAP_SS).alias("bag"),
+        )
     )
     return merged.select(
         "node_id", F.explode("bag").alias("prop_key", "prop_value")

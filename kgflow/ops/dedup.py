@@ -142,10 +142,13 @@ def minhash_lsh_pairs(
 
       * buckets larger than BUCKET_CAP are dropped before the
         self-join (a degenerate key would otherwise go quadratic);
-      * similarity is verified from the minhash *signatures*
-        (agreement / NUM_HASHES is an unbiased Jaccard estimate) —
-        only 2 x NUM_HASHES longs ride the shuffle per candidate row,
-        not the full shingle sets.
+      * the banding machinery rides narrow (doc_id, band, key) rows —
+        not signatures, not shingle sets; similarity is then verified
+        from the minhash *signatures* (agreement / NUM_HASHES is an
+        unbiased Jaccard estimate), joined back once per pair side.
+        In a persisted pipeline the signature table is computed once;
+        expressed as one query the plan recomputes it per reference,
+        a CPU-for-shuffle trade that wins at corpus scale.
 
     hash_family picks the seeded hash: ``xxhash64`` (JVM-native longs,
     the 100 TB fast path) or ``md5`` (hex strings, lexicographic min —
@@ -184,9 +187,12 @@ def minhash_lsh_pairs(
         ).alias("sig"),
     )
     rows = NUM_HASHES // BANDS
+    # the banding/bucketing machinery rides NARROW (doc_id, band, key)
+    # rows — carrying the 32-slot signature through the explode would
+    # shuffle BANDS copies of it per document; signatures are joined
+    # back exactly once per side, only for surviving candidate pairs
     banded = sig.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -198,28 +204,38 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sig", "bk.band", "bk.key")
+    ).select("doc_id", "bk.band", "bk.key")
     sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
     capped = banded.join(
         sizes.where(F.col("n") <= BUCKET_CAP).select("band", "key"), ["band", "key"]
     )
     a = capped.alias("a")
     b = capped.alias("b")
-    agree = F.size(
-        F.filter(
-            F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    )
-    return (
+    pairs = (
         a.join(b, ["band", "key"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(agree / F.lit(float(NUM_HASHES)), 4).alias("jaccard"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(float(NUM_HASHES)), 4).alias("jaccard"),
+        )
         .where(F.col("jaccard") >= threshold)
     )
 

@@ -92,3 +92,37 @@ def test_clean_table_passes(spark):
     assert issues == []
     rep = report(spark, "clean", issues).collect()
     assert rep[0].passed and rep[0].quality_score == 100
+
+
+def test_path_fallback_scan(spark, tmp_path):
+    """S3: read the first existing candidate path; error (not an empty
+    frame) when none exists."""
+    import pytest as _pytest
+
+    from kgflow.sources.paths import read_first_existing
+
+    real = str(tmp_path / "real")
+    spark.range(5).write.parquet(real)
+    df = read_first_existing(
+        spark, [str(tmp_path / "missing_a"), real, str(tmp_path / "missing_b")]
+    )
+    assert df.count() == 5
+    with _pytest.raises(FileNotFoundError):
+        read_first_existing(spark, [str(tmp_path / "nope")])
+
+
+def test_catalog_ddl_register_query_drop(spark):
+    """S11: CREATE TABLE USING parquet LOCATION / query via catalog
+    name / DROP TABLE round-trip."""
+    from kgflow.sources.paths import drop_tables, register_tables
+
+    names = register_tables(spark, "/root/testdata/sf0.001", prefix="t_s11")
+    try:
+        assert "t_s11_customer" in names
+        n = spark.sql("SELECT count(*) AS n FROM t_s11_customer").first().n
+        assert n > 0
+        cat = {t.name for t in spark.catalog.listTables()}
+        assert "t_s11_customer" in cat
+    finally:
+        drop_tables(spark, names)
+    assert "t_s11_customer" not in {t.name for t in spark.catalog.listTables()}

@@ -67,17 +67,21 @@ def run_once(label: str, master: str, corpus: str) -> dict:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
-# N executors vs 4N executors, 8 threads each. Executor *processes*
-# (local-cluster), not driver threads: a single JVM's threads anti-scale
-# on this host (measured: pure-CPU xxhash job, local[8]=134s vs
-# local[32]=246s), and separate processes also match a real cluster's
-# topology.
-# 2-core executors: the host's memory-copy bandwidth saturates at ~8
-# concurrent streams (~17 GB/s measured) — wider configs measure the
-# shared memory bus, not the pipeline. See BASELINE.md §3.
+# N executors vs 4N executors. Executor *processes* (local-cluster),
+# not driver threads: a single JVM's threads anti-scale on this host
+# (measured: pure-CPU xxhash job, local[8]=134s vs local[32]=246s), and
+# separate processes also match a real cluster's topology.
+# SINGLE-core executors: the host's memory-copy bandwidth saturates at
+# ~8 concurrent streams (~17 GB/s measured), so the 2-core [1,2]/[4,2]
+# pairing puts the 4N level (8 streams) into bus saturation and the
+# measurement becomes one of the shared memory bus, not of the
+# pipeline's scaling (round-1 vs round-2 comparison on identical code
+# showed the [x,2] ratio swinging 0.87 -> 0.75 with host load alone).
+# [1,1] vs [4,1] is literally 1 executor vs 4 executors, with the 4N
+# level at 4 streams — below saturation. See BASELINE.md §3.
 LEVELS = {
-    "N": "local-cluster[1,2,4096]",
-    "4N": "local-cluster[4,2,4096]",
+    "N": "local-cluster[1,1,4096]",
+    "4N": "local-cluster[4,1,4096]",
 }
 
 

@@ -1,8 +1,13 @@
 #!/usr/bin/env python
 """Throughput-scaling evidence: the same KG pipeline on the same input
-at two executor-process counts (local-cluster[1,2] = N executors,
-local-cluster[4,2] = 4N), per the BASELINE.md §3 protocol — the sandbox
-substitute for the north_rule's N vs 4N executor criterion.
+at two executor-process counts — PRIMARY pairing local-cluster[1,1]
+(N executors) vs local-cluster[4,1] (4N), single-core executors — per
+the BASELINE.md §3 protocol, the sandbox substitute for the
+north_rule's N vs 4N executor criterion. The WIDE 2-core pairing
+([1,2] vs [4,2]) is also measured and published as a caveat row: its
+4N level runs 8 concurrent streams, which saturates this host's
+~17 GB/s memory bus, so it measures the shared bus, not the pipeline —
+publishing both every round keeps the protocol change auditable.
 
 The corpus is generated ONCE to parquet (untimed) and read by every
 run, so the measurement is pipeline throughput over a stored table.
@@ -12,7 +17,7 @@ hits both levels equally) and medians reported. Writes BENCH/BASELINE.md.
 
 Set KGFLOW_SCALE_CORPUS=/path to reuse an existing corpus parquet.
 
-Usage:  python BENCH/scaling.py [--files 300000] [--runs 3]
+Usage:  python BENCH/scaling.py [--files 300000] [--runs 3] [--wide-runs 1]
 """
 
 from __future__ import annotations
@@ -84,25 +89,31 @@ LEVELS = {
     "4N": "local-cluster[4,1,4096]",
 }
 
+# the bus-bound 2-core pairing, published as the caveat/ablation row
+WIDE_LEVELS = {
+    "N": "local-cluster[1,2,4096]",
+    "4N": "local-cluster[4,2,4096]",
+}
 
-def measure(corpus: str, runs: int) -> dict:
+
+def measure(corpus: str, runs: int, levels: dict[str, str]) -> dict:
     # warm-ups (page cache, JIT profiles) — discarded
-    for label, master in LEVELS.items():
+    for label, master in levels.items():
         run_once(label, master, corpus)
     # interleave N / 4N runs so slow drift in host load (shared VM,
     # noisy neighbors) hits both levels equally
-    raw: dict[str, list[float]] = {label: [] for label in LEVELS}
+    raw: dict[str, list[float]] = {label: [] for label in levels}
     triples = None
     for _ in range(runs):
-        for label, master in LEVELS.items():
+        for label, master in levels.items():
             r = run_once(label, master, corpus)
             raw[label].append(r["elapsed_sec"])
             triples = r["triples"]
     out = {}
-    for label in LEVELS:
+    for label in levels:
         med = statistics.median(raw[label])
         out[label] = {
-            "master": LEVELS[label],
+            "master": levels[label],
             "runs": sorted(raw[label]),
             "median_sec": med,
             "triples": triples,
@@ -115,6 +126,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--files", type=int, default=2400000)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--wide-runs", type=int, default=1,
+        help="interleaved runs for the 2-core caveat pairing (0 = skip)",
+    )
     args = ap.parse_args()
 
     corpus = os.environ.get("KGFLOW_SCALE_CORPUS") or tempfile.mkdtemp(
@@ -124,12 +139,36 @@ def main() -> int:
     try:
         if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
             generate_corpus(args.files, corpus)
-        res = measure(corpus, args.runs)
+        res = measure(corpus, args.runs, LEVELS)
         n, n4 = res["N"], res["4N"]
+        wide = measure(corpus, args.wide_runs, WIDE_LEVELS) if args.wide_runs else None
     finally:
         if cleanup:
             shutil.rmtree(corpus, ignore_errors=True)
     efficiency = (n4["triples_per_sec"] / n["triples_per_sec"]) / 4
+    if wide:
+        wn, wn4 = wide["N"], wide["4N"]
+        wide_eff = (wn4["triples_per_sec"] / wn["triples_per_sec"]) / 4
+        wide_rows = (
+            f"| N (wide) | {wn['master']} | {wn['median_sec']:.2f} | "
+            f"{wn['triples']:,} | {wn['triples_per_sec']:,} |\n"
+            f"| 4N (wide) | {wn4['master']} | {wn4['median_sec']:.2f} | "
+            f"{wn4['triples']:,} | {wn4['triples_per_sec']:,} |"
+        )
+        wide_md = f"""
+## Caveat pairing: 2-core executors (bus-bound ablation)
+
+{wide_rows}
+
+Wide-pairing efficiency = {wide_eff:.3f} (median of {args.wide_runs}
+interleaved run(s)). The 4N level here runs 8 concurrent streams, past
+this host's ~17 GB/s memory-copy saturation point, so the ratio
+measures the shared memory bus rather than pipeline scaling — it is
+published every round so the round-2 protocol change (2-core → 1-core
+pairing) stays auditable and cannot drift into threshold-shopping.
+"""
+    else:
+        wide_md = "\n(wide 2-core caveat pairing skipped: --wide-runs 0)\n"
 
     md = f"""# BENCH/BASELINE.md — throughput scaling evidence
 
@@ -154,7 +193,7 @@ shuffle disk, costs a real 4x-executor cluster does not pay.)
 
 Raw run times (sec): N={n['runs']}, 4N={n4['runs']}
 (shared-host variance is large; interleaving keeps the comparison fair)
-
+{wide_md}
 Environment: {platform.platform()}, Python {platform.python_version()},
 Spark local-cluster mode (separate executor JVMs + per-executor Python
 workers), 8 GiB per executor.
@@ -162,7 +201,11 @@ workers), 8 GiB per executor.
     out = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(out, "w") as f:
         f.write(md)
-    print(json.dumps({"n": n, "n4": n4, "efficiency": round(efficiency, 3)}))
+    result = {"n": n, "n4": n4, "efficiency": round(efficiency, 3)}
+    if wide:
+        result["wide"] = wide
+        result["wide_efficiency"] = round(wide_eff, 3)
+    print(json.dumps(result))
     return 0
 
 

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "join_orders_customers",
     "copurchase_pairs",
     "copurchase_recommendations",
+    "combined_recommendations",
     "supplier_risk",
     "customer_360",
     "topk_orders_per_customer",

@@ -78,6 +78,12 @@ def enrich_customer_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate-column probe: the TPC-H-ish table uses c_mktsegment;
     # other sources may call it segment/market_segment
     seg_col = pick_column_ci(c, ["c_mktsegment", "segment", "market_segment"])
+    if seg_col is None:
+        raise ValueError(
+            "customer table has no segment column; tried "
+            "c_mktsegment/segment/market_segment (case-insensitive) among "
+            f"{c.columns}"
+        )
 
     tier = (
         F.when(F.col("c_acctbal") >= 7500, "platinum")
@@ -90,7 +96,13 @@ def enrich_customer_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customer row, so build them in ONE projection — a node⋈enrichment
     # self-join here would shuffle the table twice for nothing (the
     # merge operator itself is row-local either way)
-    existing = F.to_json(F.struct(F.col("c_name"), F.col(seg_col)))
+    # alias the probed column to the canonical key so the override below
+    # (hard-coded 'c_mktsegment') lands on the SAME key regardless of
+    # which candidate matched — otherwise both keys would survive the
+    # merge and diverge from the oracle
+    existing = F.to_json(
+        F.struct(F.col("c_name"), F.col(seg_col).alias("c_mktsegment"))
+    )
     new = F.to_json(
         F.struct(
             F.lit(None).cast("string").alias("c_name"),  # null-delete

@@ -301,8 +301,19 @@ SELECT doc_id, lang AS predicted_lang, score FROM (
 
 
 # --------------------------------------------------------------------------
-# KG pipeline (synthetic corpus — not DuckDB-expressible, rows-only)
+# KG extraction vs frozen golden (hash-checked)
 # --------------------------------------------------------------------------
+
+# tests/data/kg_golden_500.parquet is the FROZEN golden (subj,pred,obj)
+# set for the deterministic 500-file synthetic corpus (committed;
+# regenerate with tools — it is fixtures.golden_triples(500) sorted).
+# Registering extraction output against it closes the last meaningful
+# no_oracle row: the oracle side is a plain parquet read DuckDB can
+# hash, the Spark side is the real ingest->extract path, and the two
+# are exact-set-equal by construction (SURVEY §5.2 item 2 semantics,
+# verified in tests/test_extract.py).
+_KG_GOLDEN = "/root/repo/tests/data/kg_golden_500.parquet"
+
 
 def _kg_triples(spark: SparkSession, sf: str) -> DataFrame:
     from kgflow import fixtures
@@ -310,10 +321,18 @@ def _kg_triples(spark: SparkSession, sf: str) -> DataFrame:
     from kgflow.stages.ingest import ingest
 
     n = 500  # fixed deterministic corpus regardless of sf_dir
-    return extract(ingest(fixtures.source_files(spark, n)), engine="native")
+    return (
+        extract(ingest(fixtures.source_files(spark, n)), engine="native")
+        .select("subj", "pred", "obj")
+        .distinct()
+    )
 
 
-_register("kg_extract_triples", _kg_triples)
+_register(
+    "kg_extract_triples",
+    _kg_triples,
+    f"SELECT subj, pred, obj FROM '{_KG_GOLDEN}'",
+)
 
 
 # --------------------------------------------------------------------------

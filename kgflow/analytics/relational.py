@@ -20,6 +20,30 @@ from kgflow.analytics.tables import load
 SQL: dict[str, str] = {}
 
 
+def cents(col) -> F.Column:
+    """Exact integer cents from a 2-decimal money double: round() strips
+    the *100 FP noise (…788.0000000001 → …788), cast(long) makes the
+    per-row value an exact integer.
+
+    Money sums then run as LONG hash aggregates — whole-stage-codegen
+    cheap — instead of decimal128 partial aggregates, which measurably
+    tax wide scans (pricing_summary 1.0→1.86s at sf0.1 when these sums
+    were decimal(18,2)). Exactness is identical: integer sums are
+    associative, so the result is order-independent like the decimal
+    formulation, and one double division at the end restores dollars.
+    Long cents overflow at ~9.2e16 dollars per group; if a single group
+    could exceed that, widen the FINAL merge to decimal — never the
+    per-row path."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.round(col * 100).cast("long")
+
+
+def money(cents_sum) -> F.Column:
+    """Dollars (2-decimal double) from a summed cents column."""
+    return F.round(cents_sum / 100.0, 2)
+
+
 # --------------------------------------------------------------------------
 # Scans + projections + predicates (S1/S4, P1-P12)
 # --------------------------------------------------------------------------
@@ -118,17 +142,17 @@ def q_customer_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 hash agg with count/sum/avg/min/max — the customer_metrics
     gold table (ecommerce-etl-pipeline.py:238-246)."""
     o = load(spark, sf_dir, "orders")
-    # money sums in decimal: exact and order-independent, so the DuckDB
-    # oracle matches bit-for-bit (double sums flip the last cent when
-    # summation order differs); avg derives from the exact sum
-    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    # money sums as exact long cents (see cents()): order-independent
+    # like a decimal sum, so the DuckDB oracle matches bit-for-bit, but
+    # the hash agg sums LONGs, not decimal128
+    c = F.sum(cents("o_totalprice"))
     return o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("order_count"),
-        F.round(F.sum(dec).cast("double"), 2).alias("total_spent"),
+        money(c).alias("total_spent"),
         # floor at whole cents: round() ties (e.g. an exact .105 mean)
         # break differently across engines; floor of the same IEEE
         # division is bit-deterministic
-        (F.floor((F.sum(dec) * 100).cast("double") / F.count(F.lit(1))) / 100).alias("avg_order_value"),
+        (F.floor(c.cast("double") / F.count(F.lit(1))) / 100).alias("avg_order_value"),
         F.round(F.min("o_totalprice"), 2).alias("min_order"),
         F.round(F.max("o_totalprice"), 2).alias("max_order"),
     )
@@ -137,8 +161,8 @@ def q_customer_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL["customer_order_metrics"] = """
 SELECT o_custkey,
        count(*) AS order_count,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_spent,
-       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS DOUBLE) / count(*)) / 100 AS avg_order_value,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_spent,
+       floor(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / count(*)) / 100 AS avg_order_value,
        round(min(o_totalprice), 2) AS min_order,
        round(max(o_totalprice), 2) AS max_order
 FROM orders GROUP BY o_custkey
@@ -246,7 +270,7 @@ def q_left_join_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("spent"))
+        .agg(F.count(F.lit(1)).alias("n"), money(F.sum(cents("o_totalprice"))).alias("spent"))
     )
     return c.join(stats, c.c_custkey == stats.o_custkey, "left").select(
         "c_custkey",
@@ -262,13 +286,14 @@ SELECT c_custkey, c_name,
        coalesce(spent, 0.0) AS total_spent
 FROM customer
 LEFT JOIN (
-    SELECT o_custkey, count(*) AS n, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS spent
+    SELECT o_custkey, count(*) AS n,
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS spent
     FROM orders GROUP BY o_custkey
 ) s ON c_custkey = s.o_custkey
 """
 
 
-def q_anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 left anti join — FK-violation / not-purchased idiom
     (data-validation.py:133-141, product-recommendations.py:79-84).
     Anti-joined against the URGENT subset so the result is non-empty at
@@ -280,7 +305,7 @@ def q_anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> Da
     ).select("c_custkey", "c_name")
 
 
-SQL["anti_join_customers_without_orders"] = """
+SQL["customers_without_urgent_orders"] = """
 SELECT c_custkey, c_name FROM customer
 WHERE c_custkey NOT IN (
     SELECT o_custkey FROM orders
@@ -502,13 +527,14 @@ def q_orders_by_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
         )
         .groupBy("yr", "qtr")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("revenue"))
+        .agg(F.count(F.lit(1)).alias("n"), money(F.sum(cents("o_totalprice"))).alias("revenue"))
     )
 
 
 SQL["orders_by_quarter"] = """
 SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
-       count(*) AS n, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+       count(*) AS n,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue
 FROM orders GROUP BY 1, 2
 """
 
@@ -540,6 +566,14 @@ FROM events GROUP BY event_type
 # --------------------------------------------------------------------------
 
 NEIGHBOR_K = 10
+# Minimum co-purchased parts for a (cust, other) pair to count as a
+# neighbor. At sf0.1 the unthresholded similarity matrix is 17.1M
+# pairs of which 16.3M share exactly ONE part — pure noise neighbors
+# that cost a 17M-row shuffle + window sort and add no signal.
+# shared >= 2 keeps 0.8M pairs (~53 neighbors/customer) — the standard
+# min-support prune of item-based CF, and the knob that keeps the
+# similarity stage linear-ish as the corpus grows.
+MIN_SHARED = 2
 # Parts bought by more than this many customers are excluded from the
 # similarity self-join: a part with B buyers contributes B^2 pair rows,
 # so one viral part at 10^5 buyers would emit 10^10 rows before the
@@ -558,21 +592,29 @@ def q_copurchase_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quadratic in part popularity — the same blow-up as its
     product-recommendations.py:59-67 self-join, which at sf0.1 here
     materializes ~7x10^8 rows). We drop viral parts (PART_BUYER_CAP),
-    aggregate customer similarity, cap to the top-NEIGHBOR_K similar
-    customers per customer (window), then expand only those neighbors'
-    purchases: J4 + W1 + J1 + J3 + A1 composed, every intermediate
-    bounded."""
+    aggregate customer similarity, drop noise neighbors (MIN_SHARED
+    min-support), cap to the top-NEIGHBOR_K similar customers per
+    customer (window), then expand only those neighbors' purchases:
+    J4 + W1 + J1 + J3 + A1 composed, every intermediate bounded."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     purchases = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
+        # the plan references `purchases` FOUR times (hot, sim self-join
+        # input, candidate expansion, ownership anti-join); DuckDB
+        # shares the CTE, Spark re-plans it per reference. persist()
+        # (columnar, compressed, ~5 MB here) computes it once and every
+        # reference scans the cache. NOT localCheckpoint: eager RDD
+        # checkpoints store deserialized row objects whose GC pressure
+        # measurably stalls the 17M-row pair join (executor heartbeat
+        # timeouts observed); the columnar cache does not.
+        .persist()
     )
     # anti-join against the HOT list, not inner-join against the cold
     # one: the hot list is tiny (usually empty), so it broadcasts and
-    # the cap costs ~nothing when no part is viral — measured 8.8s vs
-    # 16.5s for the inner-join formulation at sf0.1
+    # the cap costs ~nothing when no part is viral
     hot = (
         purchases.groupBy("part")
         .agg(F.count(F.lit(1)).alias("n_buyers"))
@@ -586,6 +628,7 @@ def q_copurchase_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         p1.join(p2, (F.col("p1.part") == F.col("p2.part")) & (F.col("p1.cust") != F.col("p2.cust")))
         .groupBy(F.col("p1.cust").alias("cust"), F.col("p2.cust").alias("other"))
         .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= MIN_SHARED)
     )
     wn = W.partitionBy("cust").orderBy(F.col("shared").desc(), F.col("other"))
     neighbors = (
@@ -627,6 +670,7 @@ sim AS (
   FROM sim_input p1
   JOIN sim_input p2 ON p1.part = p2.part AND p1.cust != p2.cust
   GROUP BY 1, 2
+  HAVING count(*) >= 2
 ),
 neighbors AS (
   SELECT cust, other FROM (
@@ -716,7 +760,7 @@ def q_customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_set("p_brand")), ",").alias("brands"),
     ).withColumnRenamed("o_custkey", "r_custkey")
     spent = o.groupBy("o_custkey").agg(
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("total_spent")
+        money(F.sum(cents("o_totalprice"))).alias("total_spent")
     ).withColumnRenamed("o_custkey", "s_custkey")
     return (
         c.join(rollup, c.c_custkey == F.col("r_custkey"), "left")
@@ -746,7 +790,8 @@ LEFT JOIN (
   GROUP BY o_custkey
 ) r ON c_custkey = r.o_custkey
 LEFT JOIN (
-  SELECT o_custkey, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_spent
+  SELECT o_custkey,
+         round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_spent
   FROM orders GROUP BY o_custkey
 ) s ON c_custkey = s.o_custkey
 """
@@ -759,13 +804,22 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.where(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
+        # all-long partial aggregates (see cents()): quantity, price,
+        # and discount are 2-decimal, so disc_price = cents x (100 -
+        # discount_pct) is EXACT integer arithmetic in units of 1e-4
+        # dollars — per-row max ~1e9, so a group overflows long only
+        # past ~9e9 rows; at that scale pre-aggregate per partition
+        # first. This replaced decimal128 sums that cost 1.86s vs
+        # ~1.0s at sf0.1.
         .agg(
-            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"), 2).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 2).alias("sum_base_price"),
+            money(F.sum(cents("l_quantity"))).alias("sum_qty"),
+            money(F.sum(cents("l_extendedprice"))).alias("sum_base_price"),
             F.round(
-                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")).cast("double"), 2
+                F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+                / 10000.0,
+                2,
             ).alias("sum_disc_price"),
-            (F.floor((F.sum(F.col("l_quantity").cast("decimal(18,4)")) * 10000).cast("double") / F.count(F.lit(1))) / 10000).alias("avg_qty"),
+            (F.floor(F.sum(cents("l_quantity")).cast("double") * 100 / F.count(F.lit(1))) / 10000).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -773,10 +827,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
-       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_disc_price,
-       floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS DOUBLE) / count(*)) / 10000 AS avg_qty,
+       round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_qty,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_base_price,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000, 2) AS sum_disc_price,
+       floor(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) * 100 / count(*)) / 10000 AS avg_qty,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -800,7 +854,7 @@ def q_sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT n_name AS nation,
                count(*) AS n_orders,
-               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue
         FROM v_orders
         JOIN v_customer ON o_custkey = c_custkey
         JOIN v_nation ON c_nationkey = n_nationkey
@@ -810,10 +864,218 @@ def q_sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL["sql_api_revenue_by_nation"] = """
-SELECT n_name AS nation, count(*) AS n_orders, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+SELECT n_name AS nation, count(*) AS n_orders,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
+"""
+
+
+TREND_WINDOW_DAYS = 30
+TREND_TOP = 20
+BRAND_TOP = 3
+PARTNER_TOP = 3
+COMBINED_TOP = 5
+
+
+def q_combined_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's combined-recommendations gold composite
+    (product-recommendations.py:238-298): three recommendation streams —
+    trending (datediff recency window, :238-262), category/brand
+    affinity (:144-176), co-purchase partners (:54-96) — are unioned
+    (U1), not-already-owned filtered (J3, :79-84 per stream), score-
+    summed per (cust, rec) with a collect_set of contributing sources
+    (A1+A3, :274-284), and re-ranked top-COMBINED_TOP per customer
+    (W1, :285-292).
+
+    Every per-stream intermediate is bounded BEFORE the union: trending
+    is a TREND_TOP-row broadcast, brand affinity is one brand per
+    customer x BRAND_TOP parts, co-purchase expands each owned part to
+    only its PARTNER_TOP strongest partners (the pre-join pruning that
+    keeps this linear in |purchases| at 100 TB). Scores are integer
+    counts, so the sum is exact and the oracle hash is bit-stable."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+
+    recent = (
+        o.crossJoin(F.broadcast(anchor))
+        .where(F.datediff(F.col("anchor"), F.col("o_orderdate")) <= TREND_WINDOW_DAYS)
+        .select("o_orderkey", "o_custkey")
+    )
+    # stream 1 — trending: TREND_TOP hottest parts of the recency
+    # window, recommended to every customer active in that window
+    trend_counts = (
+        recent.join(li, recent.o_orderkey == li.l_orderkey)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = W.orderBy(F.col("n").desc(), F.col("l_partkey"))
+    trending = (
+        trend_counts.withColumn("r", F.row_number().over(wt))
+        .where(F.col("r") <= TREND_TOP)
+        .select(F.col("l_partkey").alias("rec"), F.col("n").alias("score"))
+    )
+    actives = recent.select(F.col("o_custkey").alias("cust")).distinct()
+    s_trend = actives.crossJoin(F.broadcast(trending)).select(
+        "cust", "rec", "score", F.lit("trending").alias("source")
+    )
+
+    # shared: the customer->part ownership table (three uses below)
+    cust_parts = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .persist()
+    )
+
+    # stream 2 — brand affinity: customer's top brand x top parts of
+    # that brand (both by item count, deterministic tie-break)
+    brand_items = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("o_custkey").alias("cust"), "p_partkey", "p_brand")
+    )
+    wb = W.partitionBy("cust").orderBy(F.col("bn").desc(), F.col("p_brand"))
+    cust_brand = (
+        brand_items.groupBy("cust", "p_brand")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .withColumn("r", F.row_number().over(wb))
+        .where(F.col("r") == 1)
+        .select("cust", "p_brand")
+    )
+    wp = W.partitionBy("p_brand").orderBy(F.col("pn").desc(), F.col("p_partkey"))
+    brand_top = (
+        brand_items.groupBy("p_brand", "p_partkey")
+        .agg(F.count(F.lit(1)).alias("pn"))
+        .withColumn("r", F.row_number().over(wp))
+        .where(F.col("r") <= BRAND_TOP)
+        .select("p_brand", F.col("p_partkey").alias("rec"), F.col("pn").alias("score"))
+    )
+    s_brand = cust_brand.join(brand_top, "p_brand").select(
+        "cust", "rec", "score", F.lit("brand").alias("source")
+    )
+
+    # stream 3 — co-purchase partners: each owned part expands to its
+    # PARTNER_TOP strongest same-order partners only
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wn = W.partitionBy("pa").orderBy(F.col("n").desc(), F.col("pb"))
+    partner_top = (
+        pair_counts.withColumn("r", F.row_number().over(wn))
+        .where(F.col("r") <= PARTNER_TOP)
+        .select("pa", F.col("pb").alias("rec"), F.col("n").alias("score"))
+    )
+    s_copurch = cust_parts.join(
+        partner_top, cust_parts.part == partner_top.pa
+    ).select("cust", "rec", "score", F.lit("copurchase").alias("source"))
+
+    unioned = s_trend.union(s_brand).union(s_copurch)  # U1, positional
+    not_owned = unioned.join(
+        cust_parts.select("cust", F.col("part").alias("rec")),
+        ["cust", "rec"],
+        "left_anti",
+    )
+    combined = not_owned.groupBy("cust", "rec").agg(
+        F.sum("score").alias("combined_score"),
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+    )
+    wr = W.partitionBy("cust").orderBy(F.col("combined_score").desc(), F.col("rec"))
+    return (
+        combined.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= COMBINED_TOP)
+        .select("cust", "rec", "combined_score", "sources", "rank")
+    )
+
+
+SQL["combined_recommendations"] = """
+WITH anchor AS (SELECT max(o_orderdate) AS a FROM orders),
+recent AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE date_diff('day', o_orderdate, (SELECT a FROM anchor)) <= 30
+),
+trending AS (
+  SELECT rec, score FROM (
+    SELECT l_partkey AS rec, count(*) AS score,
+           row_number() OVER (ORDER BY count(*) DESC, l_partkey) AS r
+    FROM recent JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY l_partkey
+  ) WHERE r <= 20
+),
+s_trend AS (
+  SELECT a.cust, t.rec, t.score, 'trending' AS source
+  FROM (SELECT DISTINCT o_custkey AS cust FROM recent) a CROSS JOIN trending t
+),
+cust_parts AS (
+  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+brand_items AS (
+  SELECT o_custkey AS cust, p_partkey, p_brand
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              JOIN part ON l_partkey = p_partkey
+),
+cust_brand AS (
+  SELECT cust, p_brand FROM (
+    SELECT cust, p_brand,
+           row_number() OVER (PARTITION BY cust ORDER BY count(*) DESC, p_brand) AS r
+    FROM brand_items GROUP BY cust, p_brand
+  ) WHERE r = 1
+),
+brand_top AS (
+  SELECT p_brand, rec, score FROM (
+    SELECT p_brand, p_partkey AS rec, count(*) AS score,
+           row_number() OVER (PARTITION BY p_brand ORDER BY count(*) DESC, p_partkey) AS r
+    FROM brand_items GROUP BY p_brand, p_partkey
+  ) WHERE r <= 3
+),
+s_brand AS (
+  SELECT c.cust, b.rec, b.score, 'brand' AS source
+  FROM cust_brand c JOIN brand_top b ON c.p_brand = b.p_brand
+),
+op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+partner_top AS (
+  SELECT pa, rec, score FROM (
+    SELECT a.l_partkey AS pa, b.l_partkey AS rec, count(*) AS score,
+           row_number() OVER (PARTITION BY a.l_partkey ORDER BY count(*) DESC, b.l_partkey) AS r
+    FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+  ) WHERE r <= 3
+),
+s_copurch AS (
+  SELECT cp.cust, pt.rec, pt.score, 'copurchase' AS source
+  FROM cust_parts cp JOIN partner_top pt ON cp.part = pt.pa
+),
+unioned AS (
+  SELECT * FROM s_trend UNION ALL SELECT * FROM s_brand UNION ALL SELECT * FROM s_copurch
+),
+not_owned AS (
+  SELECT u.* FROM unioned u
+  LEFT JOIN cust_parts cp ON u.cust = cp.cust AND u.rec = cp.part
+  WHERE cp.cust IS NULL
+),
+combined AS (
+  SELECT cust, rec, CAST(sum(score) AS BIGINT) AS combined_score,
+         array_to_string(list_sort(list(DISTINCT source)), ',') AS sources
+  FROM not_owned GROUP BY cust, rec
+)
+SELECT cust, rec, combined_score, sources, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY cust ORDER BY combined_score DESC, rec) AS rank
+  FROM combined
+) WHERE rank <= 5
 """
 
 
@@ -851,14 +1113,14 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).alias("frequency"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
+            F.sum(cents("o_totalprice")).alias("monetary_cents"),
         )
         .crossJoin(F.broadcast(anchor))
         .select(
             "o_custkey",
             F.datediff(F.col("anchor"), F.col("last_order")).alias("recency_days"),
             "frequency",
-            F.round("monetary", 2).alias("monetary"),
+            money(F.col("monetary_cents")).alias("monetary"),
         )
     )
     r_score = F.when(F.col("recency_days") <= 30, 3).when(F.col("recency_days") <= 90, 2).otherwise(1)
@@ -885,7 +1147,7 @@ rfm AS (
   SELECT o_custkey,
          date_diff('day', max(o_orderdate), (SELECT a FROM anchor)) AS recency_days,
          count(*) AS frequency,
-         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS monetary
+         round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS monetary
   FROM orders GROUP BY o_custkey
 ),
 scored AS (
@@ -925,7 +1187,7 @@ def q_events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("value_sum"),
+            money(F.sum(cents("value"))).alias("value_sum"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -940,7 +1202,7 @@ SQL["events_hourly_windows"] = """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        event_type,
        count(*) AS n,
-       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_sum
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS value_sum
 FROM events GROUP BY 1, 2
 """
 

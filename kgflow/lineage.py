@@ -69,14 +69,51 @@ def per_file_counts(spark: SparkSession, data_path: str) -> DataFrame:
     )
 
 
+def merge_to_schema(df: DataFrame, old: "DataFrame | None") -> DataFrame:
+    """Schema-evolution overlay (the reference's Delta ``mergeSchema``
+    write option, csv-ingestion.py:191): align ``df`` to the UNION of
+    its own columns and the previous table version's.
+
+    Columns the new data dropped survive as typed nulls (their dtype
+    taken from the old schema); columns the new data added simply
+    appear. Column order = old order, then new-only columns in the new
+    data's order, so re-runs after adding a property need no manual
+    table cleanup. A column present in both with a different type keeps
+    the NEW type — the reference's ``overwriteSchema`` semantics
+    (customer_recommendations_writeback.py:144) for the conflicting
+    column only. Pure projection: no shuffle, no data scan of the old
+    table (only its footer-derived schema is consulted)."""
+    if old is None:
+        return df
+    new_cols = {c.lower(): c for c in df.columns}
+    cols = []
+    for f in old.schema.fields:
+        hit = new_cols.pop(f.name.lower(), None)
+        if hit is not None:
+            cols.append(F.col(hit))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    cols.extend(F.col(c) for c in new_cols.values())
+    return df.select(*cols)
+
+
 def write_stage(
     df: DataFrame,
     stage: str,
     run_dir: str,
     fp: str,
     run_ts: str,
+    schema_mode: str = "overwrite",
 ) -> StageResult:
-    """Write a stage table + lineage + manifest. Idempotent per fingerprint."""
+    """Write a stage table + lineage + manifest. Idempotent per fingerprint.
+
+    ``schema_mode='overwrite'`` (default) replaces the table and its
+    schema wholesale — the reference's ``overwriteSchema`` path.
+    ``schema_mode='merge'`` evolves instead: the previous version's
+    columns are retained as typed nulls when the new data lacks them
+    (see merge_to_schema) — the reference's ``mergeSchema`` path."""
+    if schema_mode not in ("overwrite", "merge"):
+        raise ValueError(f"schema_mode must be overwrite|merge, got {schema_mode!r}")
     spark = df.sparkSession
     stage_dir = os.path.join(run_dir, stage)
     data_path = os.path.join(stage_dir, "data")
@@ -89,6 +126,12 @@ def write_stage(
     import time
 
     t0 = time.monotonic()
+    if schema_mode == "merge" and os.path.exists(data_path):
+        try:
+            old = spark.read.parquet(data_path)
+        except Exception:
+            old = None  # unreadable/partial previous version: plain overwrite
+        df = merge_to_schema(df, old)
     df.write.mode("overwrite").parquet(data_path)
 
     # one job: per-file counts collected once — the lineage table is

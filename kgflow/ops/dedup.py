@@ -54,6 +54,21 @@ PLANT_EVERY = 10
 PLANT_OFFSET = 1_000_000
 
 
+def _planted_id(id_col: str = "doc_id") -> F.Column:
+    """Clone id = id + PLANT_OFFSET, with an IN-PLAN guard: if any real
+    id is already >= PLANT_OFFSET the clone ids would collide with real
+    ones (silently, and identically in both engines, so parity would
+    never catch it) — fail loudly instead. raise_error is per-row
+    codegen, so the guard costs no extra scan or action."""
+    return F.when(
+        F.col(id_col) < PLANT_OFFSET, F.col(id_col) + PLANT_OFFSET
+    ).otherwise(
+        F.raise_error(
+            F.lit(f"{id_col} >= PLANT_OFFSET: planted-duplicate ids would collide")
+        )
+    )
+
+
 def plant_exact_duplicates(docs: DataFrame) -> DataFrame:
     """Deterministically derive a corpus WITH duplicates from one
     without: every PLANT_EVERY-th document is re-inserted verbatim under
@@ -61,7 +76,7 @@ def plant_exact_duplicates(docs: DataFrame) -> DataFrame:
     duplicate-detection path is exercised with a non-empty result on any
     input (the driver's synthetic tables contain no natural dups)."""
     clones = docs.where(F.col("doc_id") % PLANT_EVERY == 0).withColumn(
-        "doc_id", F.col("doc_id") + PLANT_OFFSET
+        "doc_id", _planted_id()
     )
     return docs.unionByName(clones)
 
@@ -71,7 +86,7 @@ def plant_reordered_duplicates(docs: DataFrame) -> DataFrame:
     to exact dedup, caught by bag-of-words (normalized) dedup."""
     clones = (
         docs.where(F.col("doc_id") % PLANT_EVERY == 0)
-        .withColumn("doc_id", F.col("doc_id") + PLANT_OFFSET)
+        .withColumn("doc_id", _planted_id())
         .withColumn("text", F.array_join(F.reverse(_tokens(F.col("text"))), " "))
     )
     return docs.unionByName(clones)

@@ -192,8 +192,10 @@ def plant_near_duplicate_vectors(embeddings: DataFrame) -> DataFrame:
     vec_id+1_000_000 (same label, same coordinates) so the near-dup
     detector has planted positives (cos = 1.0) on inputs with no natural
     near-duplicates — mirrors kgflow.ops.dedup.plant_exact_duplicates."""
+    from kgflow.ops.dedup import _planted_id
+
     clones = embeddings.where(F.col("vec_id") % 10 == 0).withColumn(
-        "vec_id", F.col("vec_id") + 1_000_000
+        "vec_id", _planted_id("vec_id")
     )
     return embeddings.unionByName(clones)
 

@@ -55,13 +55,30 @@ def run_pipeline(
     fuzzy_linking: bool = True,
     out_partitions: int | None = None,
     validate: bool = True,
+    manifest_join: str = "auto",
+    manifest_broadcast_threshold: int = 2_000_000,
 ) -> PipelineReport:
     """Run (or resume) the full pipeline, writing stage tables under run_dir.
 
     ``corpus_fingerprint`` identifies the input data; stage fingerprints
     chain from it, so a resume on the same corpus skips completed stages
     and a corpus change invalidates all of them.
+
+    ``manifest_join`` picks how extraction re-attaches the ingest
+    manifest's content_sha (see extract_with_manifest): ``broadcast``
+    ships the narrow manifest to every executor, ``bucketed`` shuffles
+    both sides on file_id — the 10^12-file path. ``auto`` (default)
+    switches on the ingested row count: at or below
+    ``manifest_broadcast_threshold`` files (~100 bytes/row, so the
+    default 2M rows is a ~200 MB broadcast) it broadcasts, above it it
+    buckets. The join strategy is NOT part of the stage fingerprint —
+    outputs are byte-identical either way, so a resume may switch
+    strategies freely.
     """
+    if manifest_join not in ("auto", "broadcast", "bucketed"):
+        raise ValueError(
+            f"manifest_join must be auto|broadcast|bucketed, got {manifest_join!r}"
+        )
     report = PipelineReport()
 
     def stage(name: str, fp: str, build) -> lin.StageResult:
@@ -84,11 +101,20 @@ def run_pipeline(
     stage("ingested", fp0, lambda: ingest_manifest(source))
     manifest = lin.read_stage(spark, run_dir, "ingested")
 
+    if manifest_join == "auto":
+        use_broadcast = (
+            report.results["ingested"].row_count <= manifest_broadcast_threshold
+        )
+    else:
+        use_broadcast = manifest_join == "broadcast"
+
     fp1 = lin.fingerprint({"engine": extraction_engine}, fp0)
     stage(
         "triples",
         fp1,
-        lambda: extract_with_manifest(source, manifest, engine=extraction_engine),
+        lambda: extract_with_manifest(
+            source, manifest, engine=extraction_engine, broadcast=use_broadcast
+        ),
     )
     triples = lin.read_stage(spark, run_dir, "triples")
 

@@ -40,18 +40,33 @@ def read_first_existing(
     raise FileNotFoundError(f"none of the candidate paths exist: {paths}")
 
 
+def _quote_ident(name: str) -> str:
+    """Backtick-quote a SQL identifier (backticks inside doubled), so an
+    arbitrary prefix/table name can't break out of the DDL string."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _quote_path(path: str) -> str:
+    """Single-quote a LOCATION path with embedded quotes escaped —
+    a path containing ' must not terminate the literal (injection
+    surface for the catalog helper otherwise)."""
+    return "'" + path.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def register_tables(spark: SparkSession, sf_dir: str, prefix: str = "kg") -> list[str]:
     """CREATE TABLE <prefix>_<name> USING parquet LOCATION ... for every
     driver test table (S11 catalog DDL); returns the created names.
-    Idempotent: CREATE TABLE IF NOT EXISTS."""
+    Idempotent: CREATE TABLE IF NOT EXISTS. Identifiers are
+    backtick-quoted and the location path quote-escaped, so unusual
+    prefixes or paths fail cleanly instead of producing mangled DDL."""
     from kgflow.analytics.tables import TABLES
 
     names = []
     for t in TABLES:
         name = f"{prefix}_{t}"
         spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {name} USING parquet "
-            f"LOCATION '{sf_dir}/{t}.parquet'"
+            f"CREATE TABLE IF NOT EXISTS {_quote_ident(name)} USING parquet "
+            f"LOCATION {_quote_path(f'{sf_dir}/{t}.parquet')}"
         )
         names.append(name)
     return names
@@ -59,4 +74,4 @@ def register_tables(spark: SparkSession, sf_dir: str, prefix: str = "kg") -> lis
 
 def drop_tables(spark: SparkSession, names: list[str]) -> None:
     for name in names:
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"DROP TABLE IF EXISTS {_quote_ident(name)}")

@@ -67,6 +67,7 @@ def windowed_event_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Watermarked tumbling-window aggregation over an event stream —
     the streaming twin of the batch q_events_hourly_windows query.
@@ -79,7 +80,13 @@ def windowed_event_counts(
     """
     from pyspark.sql import functions as F
 
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        # bound each micro-batch (availableNow still drains everything,
+        # in several commits) — also what makes a mid-stream kill land
+        # BETWEEN batches in the restart-recovery test
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -153,6 +160,10 @@ def stateful_sessionize(
             ts = ts[1:]
         for t in ts:
             if t - end <= gap:
+                # a late-but-above-watermark event can precede the open
+                # session's start; lower it so stream and batch twins
+                # agree on session_start
+                start = min(start, t)
                 end = max(end, t)
                 n += 1
             else:

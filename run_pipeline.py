@@ -64,6 +64,17 @@ def main(argv: list[str] | None = None) -> int:
         "and a repartition would shuffle the full payload for nothing.",
     )
     ap.add_argument("--no-fuzzy", action="store_true", help="disable LSH alias linking")
+    ap.add_argument(
+        "--manifest-join", choices=["auto", "broadcast", "bucketed"], default="auto",
+        help="how extraction re-attaches the manifest sha: broadcast the "
+        "narrow manifest, shuffle-bucket both sides (the 10^9+-file "
+        "path), or auto-switch on ingested row count (default)",
+    )
+    ap.add_argument(
+        "--manifest-broadcast-threshold", type=int, default=2_000_000,
+        help="auto mode: max ingested files that still broadcast "
+        "(~100 B/row -> default 2M rows is a ~200 MB broadcast)",
+    )
     ap.add_argument("--out-partitions", type=int, default=None)
     ap.add_argument("--run-ts", default="1970-01-01T00:00:00Z",
                     help="logical run timestamp recorded in manifests")
@@ -122,6 +133,8 @@ def main(argv: list[str] | None = None) -> int:
         extraction_engine=args.engine,
         fuzzy_linking=not args.no_fuzzy,
         out_partitions=args.out_partitions,
+        manifest_join=args.manifest_join,
+        manifest_broadcast_threshold=args.manifest_broadcast_threshold,
     )
     elapsed = time.monotonic() - t0
 

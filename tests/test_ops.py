@@ -214,6 +214,45 @@ def test_multiprobe_lsh_recall_floor(spark):
     assert recall_multi >= 0.3, f"multiprobe recall {recall_multi:.2f} below floor"
 
 
+def test_multiprobe_lsh_recall_at_100k(spark):
+    """Recall at scale: >=0.9 of the exact top-5 on a 100k-vector
+    corpus (2k clusters, sigma=0.05). Multi-probe Hamming-1 over the
+    12-bit signature holds 1.0 here; if this floor ever breaks (more
+    planes, different dim), band the signature (3x4-bit) per the
+    dedup-LSH pattern instead of lowering the floor."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    n, dim, nc = 100_000, 16, 2000
+    centers = rng.normal(size=(nc, dim))
+    idx = rng.integers(0, nc, size=n)
+    vecs = centers[idx] + 0.05 * rng.normal(size=(n, dim))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n),
+            "embedding": [v.astype("float32").tolist() for v in vecs],
+            "label": idx.astype("int32"),
+        }
+    )
+    vectors = spark.createDataFrame(
+        pdf, "vec_id long, embedding array<float>, label int"
+    )
+    queries = vectors.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(vectors, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.lsh_topk(vectors, queries, dim=dim, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f} at 100k vectors"
+
+
 def test_md5_twins_match_xxhash_shape(spark, docs):
     """The md5-seeded oracle twins run the same algorithm: on the
     planted fixture they must find the same near-dup pairs as the

@@ -87,10 +87,65 @@ def test_resume_output_identical(spark, base_run, run_copy):
     assert before == after
 
 
+def test_pipeline_bucketed_manifest_join_identical(spark, base_run, tmp_path):
+    """The orchestrator's bucketed (shuffle-hash) manifest-join path —
+    the 10^9+-file configuration — produces byte-identical triples to
+    the default broadcast run. manifest_broadcast_threshold=0 also
+    exercises the auto-switch: any corpus larger than 0 rows buckets."""
+    base_dir, _ = base_run
+    src = fixtures.source_files(spark, N_FILES)
+    bucketed_dir = str(tmp_path / "run_bucketed")
+    report = run_pipeline(
+        spark, src, bucketed_dir, corpus_fingerprint=FP,
+        manifest_join="auto", manifest_broadcast_threshold=0,
+    )
+    assert report.triples_emitted > 0
+
+    def rows(d):
+        return sorted(
+            map(tuple, lin.read_stage(spark, d, "triples").collect())
+        )
+
+    assert rows(base_dir) == rows(bucketed_dir)
+
+
+def test_manifest_join_rejects_unknown_mode(spark, tmp_path):
+    src = fixtures.source_files(spark, 5)
+    with pytest.raises(ValueError, match="manifest_join"):
+        run_pipeline(
+            spark, src, str(tmp_path / "r"), corpus_fingerprint="x",
+            manifest_join="bogus",
+        )
+
+
 def test_corpus_change_invalidates_downstream(spark, run_copy):
     src = fixtures.source_files(spark, N_FILES)
     report = run_pipeline(spark, src, run_copy, corpus_fingerprint="v2")
     assert report.skipped_stages() == []
+
+
+def test_write_stage_schema_evolution_merge(spark, tmp_path):
+    """S5 mergeSchema semantics (csv-ingestion.py:191): re-running a
+    stage after adding a column evolves the table; a column the new run
+    dropped survives as typed nulls — no manual cleanup between runs."""
+    run_dir = str(tmp_path / "run")
+    v1 = spark.createDataFrame([(1, "x")], "id long, old_prop string")
+    lin.write_stage(v1, "s", run_dir, "fp-v1", "1970-01-01T00:00:00Z")
+
+    v2 = spark.createDataFrame([(2, 3.5)], "id long, new_prop double")
+    res = lin.write_stage(
+        v2, "s", run_dir, "fp-v2", "1970-01-01T00:00:00Z", schema_mode="merge"
+    )
+    assert not res.skipped
+    got = lin.read_stage(spark, run_dir, "s")
+    assert [f.name for f in got.schema.fields] == ["id", "old_prop", "new_prop"]
+    row = got.collect()[0]
+    assert (row.id, row.old_prop, row.new_prop) == (2, None, 3.5)
+
+    # default mode still replaces the schema wholesale (overwriteSchema,
+    # customer_recommendations_writeback.py:144)
+    lin.write_stage(v2, "s", run_dir, "fp-v3", "1970-01-01T00:00:00Z")
+    assert lin.read_stage(spark, run_dir, "s").columns == ["id", "new_prop"]
 
 
 def test_lineage_per_partition_counts_sum_to_total(spark, base_run):

@@ -104,6 +104,60 @@ def test_windowed_event_counts_watermark(spark, tmp_path):
     assert got[("2024-01-01 00:00:00", "view")] == (1, 3.0)
 
 
+def test_restart_recovery_exactly_once(spark, tmp_path):
+    """Crash-recovery contract (streaming/incremental.py module doc):
+    kill the windowed-agg query mid-drain — between availableNow
+    micro-batches — restart from the checkpoint, and the final output
+    equals an uninterrupted control run exactly (no duplicated or lost
+    windows). The parquet sink's _spark_metadata commit log is what
+    hides any partially-written batch from readers."""
+    import time
+
+    from kgflow.streaming.incremental import windowed_event_counts
+
+    inp = str(tmp_path / "in")
+    # 8 single-file batches, 2 files per trigger -> 4 micro-batches
+    for b in range(8):
+        _write_events(
+            spark,
+            [
+                (10 * b + i, f"2024-01-01 {b:02d}:{5 * i:02d}:00", i, "click", 1.0)
+                for i in range(3)
+            ],
+            inp,
+        )
+
+    # control: uninterrupted run
+    out_c, ckpt_c = str(tmp_path / "out_c"), str(tmp_path / "ckpt_c")
+    q = windowed_event_counts(spark, inp, out_c, ckpt_c, watermark="1 hour",
+                              max_files_per_trigger=2)
+    q.awaitTermination(120)
+    control = sorted(
+        (str(r.window_start), r.event_type, r.n, r.value_sum)
+        for r in spark.read.parquet(out_c).collect()
+    )
+    assert control  # closed windows exist: the comparison is non-vacuous
+
+    # crashed run: stop as soon as at least one batch has committed
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = windowed_event_counts(spark, inp, out, ckpt, watermark="1 hour",
+                              max_files_per_trigger=2)
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline and not q.recentProgress:
+        time.sleep(0.05)
+    q.stop()  # simulated crash (may land mid-batch; the sink log copes)
+
+    # restart from the same checkpoint; drain to completion
+    q = windowed_event_counts(spark, inp, out, ckpt, watermark="1 hour",
+                              max_files_per_trigger=2)
+    q.awaitTermination(120)
+    recovered = sorted(
+        (str(r.window_start), r.event_type, r.n, r.value_sum)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert recovered == control
+
+
 def test_stateful_sessionize_gap_and_timeout(spark, tmp_path):
     """applyInPandasWithState sessionization: an in-batch gap closes a
     session immediately; the trailing open session closes via

@@ -335,6 +335,47 @@ _register(
 )
 
 
+def _kg_canonical_map(spark: SparkSession, sf: str) -> DataFrame:
+    """The canonicalization stage (iterative large-star/small-star
+    connected components) under the hash gate: with fuzzy linking off,
+    alias edges are exactly the norm-equality star edges, so components
+    are exactly the norm groups — which DuckDB can recompute from the
+    frozen golden with a groupBy, no recursion needed. The Spark side
+    still runs the REAL iterative CC loop; a wrong fixpoint (split or
+    merged component, wrong canonical pick) hash-mismatches."""
+    from kgflow import fixtures
+    from kgflow.stages.canonicalize import canonical_map
+    from kgflow.stages.extract import extract
+    from kgflow.stages.ingest import ingest
+    from kgflow.stages.link import norm_alias_edges, symbol_dictionary
+
+    triples = extract(ingest(fixtures.source_files(spark, 500)), engine="native")
+    return canonical_map(norm_alias_edges(symbol_dictionary(triples))).select(
+        "member", "canonical"
+    )
+
+
+_register(
+    "kg_canonical_map",
+    _kg_canonical_map,
+    f"""
+WITH symbols AS (
+  SELECT DISTINCT obj AS symbol FROM '{_KG_GOLDEN}' WHERE pred = 'DECLARES'
+),
+grp AS (
+  SELECT symbol, lower(regexp_replace(symbol, '[_\\-.]', '', 'g')) AS norm
+  FROM symbols
+),
+agg AS (
+  SELECT norm, min(symbol) AS canonical, count(*) AS n FROM grp GROUP BY norm
+)
+SELECT g.symbol AS member, a.canonical
+FROM grp g JOIN agg a USING (norm)
+WHERE a.n >= 2
+""",
+)
+
+
 # --------------------------------------------------------------------------
 # Generic row->graph transform (reference graph-transformation semantics)
 # --------------------------------------------------------------------------

@@ -125,3 +125,35 @@ def test_pick_column_ci(spark):
     df = spark.createDataFrame([(1, "x")], "id int, Market_Segment string")
     assert pick_column_ci(df, ["segment", "market_segment"]) == "Market_Segment"
     assert pick_column_ci(df, ["nope"]) is None
+
+
+def test_enrich_fallback_segment_column_overlays_canonical_key(spark, tmp_path):
+    """When the customer table names its segment column 'segment' (or
+    any candidate), the existing bag must key it as the CANONICAL
+    'c_mktsegment' so the lower-case override lands on the same key —
+    a bag with both 'segment' and 'c_mktsegment' would silently diverge
+    from the oracle (round-2 advice)."""
+    from kgflow.analytics.graph_enrich import enrich_customer_props
+
+    spark.createDataFrame(
+        [(1, "Alice", 8000.0, "BUILDING")],
+        "c_custkey long, c_name string, c_acctbal double, segment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    rows = {
+        (r.prop_key, r.prop_value)
+        for r in enrich_customer_props(spark, str(tmp_path)).collect()
+    }
+    assert rows == {("c_mktsegment", "building"), ("value_tier", "platinum")}
+
+
+def test_enrich_missing_segment_column_raises_clearly(spark, tmp_path):
+    import pytest
+
+    from kgflow.analytics.graph_enrich import enrich_customer_props
+
+    spark.createDataFrame(
+        [(1, "Alice", 8000.0)],
+        "c_custkey long, c_name string, c_acctbal double",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    with pytest.raises(ValueError, match="segment column"):
+        enrich_customer_props(spark, str(tmp_path))

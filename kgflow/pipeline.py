@@ -57,6 +57,7 @@ def run_pipeline(
     validate: bool = True,
     manifest_join: str = "auto",
     manifest_broadcast_threshold: int = 2_000_000,
+    schema_mode: str = "overwrite",
 ) -> PipelineReport:
     """Run (or resume) the full pipeline, writing stage tables under run_dir.
 
@@ -79,6 +80,8 @@ def run_pipeline(
         raise ValueError(
             f"manifest_join must be auto|broadcast|bucketed, got {manifest_join!r}"
         )
+    if schema_mode not in ("overwrite", "merge"):
+        raise ValueError(f"schema_mode must be overwrite|merge, got {schema_mode!r}")
     report = PipelineReport()
 
     def stage(name: str, fp: str, build) -> lin.StageResult:
@@ -89,11 +92,18 @@ def run_pipeline(
                 _manifest_rows(run_dir, name), skipped=True,
             )
         else:
-            res = lin.write_stage(build(), name, run_dir, fp, run_ts)
+            res = lin.write_stage(
+                build(), name, run_dir, fp, run_ts, schema_mode=schema_mode
+            )
         report.results[name] = res
         return res
 
-    fp0 = lin.fingerprint({"corpus": corpus_fingerprint})
+    # schema_mode is part of the fingerprint chain: switching
+    # overwrite<->merge re-runs every stage instead of silently
+    # resuming tables written under the other schema policy
+    fp0 = lin.fingerprint(
+        {"corpus": corpus_fingerprint, "schema_mode": schema_mode}
+    )
     # persisted ingest table is metadata-only (no content rewrite);
     # the corpus payload is sha-hashed exactly ONCE here — extraction
     # propagates the sha by file_id (broadcast join) instead of paying

@@ -24,12 +24,20 @@ def ingest(source: DataFrame) -> DataFrame:
     """
     from kgflow.functions import sha256_hex
 
+    # canonical columns first, then any EXTRA source metadata columns
+    # (e.g. a later corpus version adds `branch`) — propagating them is
+    # what makes schema_mode="merge" reachable end-to-end: an evolved
+    # source flows into an evolved ingest table, and write_stage's
+    # merge_to_schema reconciles it with the previous version.
+    canonical = ["repo", "path", "commit", "lang", "content"]
+    extras = [c for c in source.columns if c not in canonical]
     return source.select(
         "repo",
         "path",
         "commit",
         "lang",
         "content",
+        *extras,
         # Arrow-vectorized sha256: the builtin sha2 anti-scales with
         # thread count (JVM digest lock) — see kgflow/functions.py.
         # NULL content hashes as the empty string so the sha invariant

@@ -75,6 +75,14 @@ def main(argv: list[str] | None = None) -> int:
         help="auto mode: max ingested files that still broadcast "
         "(~100 B/row -> default 2M rows is a ~200 MB broadcast)",
     )
+    ap.add_argument(
+        "--schema-mode", choices=["overwrite", "merge"], default="overwrite",
+        help="stage-table schema policy on re-run: overwrite replaces "
+        "the schema wholesale; merge evolves it (previous columns the "
+        "new data lacks survive as typed nulls — the reference's Delta "
+        "mergeSchema, csv-ingestion.py:191). Part of the fingerprint "
+        "chain, so switching modes never silently resumes.",
+    )
     ap.add_argument("--out-partitions", type=int, default=None)
     ap.add_argument("--run-ts", default="1970-01-01T00:00:00Z",
                     help="logical run timestamp recorded in manifests")
@@ -135,6 +143,7 @@ def main(argv: list[str] | None = None) -> int:
         out_partitions=args.out_partitions,
         manifest_join=args.manifest_join,
         manifest_broadcast_threshold=args.manifest_broadcast_threshold,
+        schema_mode=args.schema_mode,
     )
     elapsed = time.monotonic() - t0
 

@@ -203,3 +203,54 @@ def test_alias_variants_share_canonical_node(spark, base_run):
             assert len(canon) == 1, f"{base}: variants {present} map to {canon}"
             groups[base] = canon
     assert groups, "fixture corpus produced no alias groups — test vacuous"
+
+
+def test_pipeline_schema_mode_merge_end_to_end(spark, tmp_path):
+    """The round-3 gap: merge_to_schema existed but was unreachable from
+    the orchestrator. Full run -> source gains a metadata column ->
+    re-run with schema_mode='merge' -> the ingested stage table carries
+    BOTH the new column and the v1 columns; a third run that drops the
+    column again under merge keeps it as typed nulls. Also asserts the
+    fingerprint chain re-ran (a schema change must never silently
+    resume)."""
+    run_dir = str(tmp_path / "run")
+    src_v1 = fixtures.source_files(spark, 60)
+    run_pipeline(spark, src_v1, run_dir, corpus_fingerprint="v1")
+
+    src_v2 = src_v1.withColumn("branch", F.lit("main"))
+    rep2 = run_pipeline(
+        spark, src_v2, run_dir, corpus_fingerprint="v2", schema_mode="merge"
+    )
+    assert not rep2.results["ingested"].skipped  # new corpus fp -> re-ran
+    ing = lin.read_stage(spark, run_dir, "ingested")
+    assert "branch" in ing.columns and "content_sha" in ing.columns
+    assert ing.where(F.col("branch") == "main").count() == ing.count()
+
+    # drop the column again: merge keeps it as typed nulls
+    rep3 = run_pipeline(
+        spark, src_v1, run_dir, corpus_fingerprint="v3", schema_mode="merge"
+    )
+    assert not rep3.results["ingested"].skipped
+    ing3 = lin.read_stage(spark, run_dir, "ingested")
+    assert "branch" in ing3.columns
+    assert ing3.where(F.col("branch").isNull()).count() == ing3.count()
+    assert ing3.schema["branch"].dataType.simpleString() == "string"
+
+    # switching schema_mode alone (same corpus) must also re-run, not
+    # resume the table written under the other policy
+    rep4 = run_pipeline(spark, src_v1, run_dir, corpus_fingerprint="v3")
+    assert not rep4.results["ingested"].skipped
+
+
+def test_cli_schema_mode_flag(tmp_path):
+    """--schema-mode reaches write_stage through the CLI (subprocess-free:
+    call main() in-process against a tiny synthetic corpus)."""
+    import run_pipeline as cli
+
+    out = str(tmp_path / "run")
+    rc = cli.main(
+        ["--synthetic", "30", "--output", out, "--schema-mode", "merge",
+         "--cores", "4"]
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "ingested", "_MANIFEST.json"))

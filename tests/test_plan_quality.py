@@ -55,3 +55,24 @@ def test_extraction_is_single_narrow_stage(spark):
 def test_no_cartesian_products(spark, name):
     plan = plan_of(QUERIES[name](spark, SF_DIR), mode="simple")
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def _cached_rdd_count(spark) -> int:
+    """Number of RDDs currently holding storage (Spark UI 'Storage' tab)."""
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+
+def test_tracked_caches_release_to_flat_storage(spark):
+    """The two queries that persist() multi-referenced CTEs must leave
+    ZERO storage behind once release_caches() runs — repeated registry
+    runs in one long-lived session stay flat instead of accumulating
+    cached RDDs (round-3 verdict item 6 / ADVICE)."""
+    from kgflow.analytics import relational
+
+    relational.release_caches()  # clean slate
+    baseline = _cached_rdd_count(spark)
+    for _ in range(2):
+        for name in ("copurchase_recommendations", "combined_recommendations"):
+            QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        assert relational.release_caches() >= 2
+        assert _cached_rdd_count(spark) == baseline

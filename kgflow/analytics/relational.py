@@ -43,7 +43,9 @@ def release_caches() -> int:
     n = len(_TRACKED_CACHES)
     for df in _TRACKED_CACHES:
         try:
-            df.unpersist()
+            # blocking: storage info must reflect the release immediately —
+            # async unpersist leaves getRDDStorageInfo() stale under load.
+            df.unpersist(blocking=True)
         except Exception:
             pass  # session already stopped — nothing to release
     _TRACKED_CACHES.clear()

@@ -70,9 +70,15 @@ def test_tracked_caches_release_to_flat_storage(spark):
     from kgflow.analytics import relational
 
     relational.release_caches()  # clean slate
+    spark.catalog.clearCache()  # drop strays from earlier tests in the session
     baseline = _cached_rdd_count(spark)
+    after = []
     for _ in range(2):
         for name in ("copurchase_recommendations", "combined_recommendations"):
             QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
         assert relational.release_caches() >= 2
-        assert _cached_rdd_count(spark) == baseline
+        after.append(_cached_rdd_count(spark))
+    # Flat storage = non-accumulating: strays left by earlier tests in a
+    # shared session may still DECAY during the run (async drops), so
+    # assert monotone non-increase rather than exact equality.
+    assert after[0] <= baseline and after[1] <= after[0], (baseline, after)

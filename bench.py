@@ -12,6 +12,15 @@ no sink cost) and timed KGFLOW_BENCH_ITERS times (default 3); the
 reported number is the MEDIAN, so one GC pause can't fake a regression.
 One JVM for everything — per-query numbers exclude Spark startup.
 
+Every iteration is steal-audited (kgflow.audit): /proc/stat is
+snapshotted around the timed window and iterations whose window saw
+>1% hypervisor steal (or >5% iowait) are re-run — round 3 proved a bad
+steal window can misreport a query by 2x+ and the published artifact
+inherited it. The kg_pipeline headline is median-of-3 under the same
+audit (fresh run dir per iteration; shared pre-materialized corpus).
+The JSON carries max observed steal so a contaminated publish is
+self-describing.
+
 Every run also appends one record per query to BENCH/history.jsonl
 (ts, sf, cpus, per-iteration timings) so cross-round comparisons are
 per-query, not total-only.
@@ -67,6 +76,9 @@ BENCH_QUERIES = [
 ]
 
 
+from kgflow.audit import timed_audited
+
+
 def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
@@ -87,12 +99,16 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     history: list[dict] = []
+    max_steal = 0.0
     for name in BENCH_QUERIES:
-        iters = []
+        iters, steals = [], []
         for _ in range(ITERS):
-            t0 = time.monotonic()
-            _force(QUERIES[name](spark, SF_DIR))
-            iters.append(round(time.monotonic() - t0, 3))
+            elapsed, window, _ = timed_audited(
+                lambda: _force(QUERIES[name](spark, SF_DIR))
+            )
+            iters.append(round(elapsed, 3))
+            steals.append(window.steal_pct)
+            max_steal = max(max_steal, window.steal_pct)
         # drop caches BETWEEN queries (iterations of one query may share
         # them — a disclosed warm-cache median) so no query inherits
         # another's storage-memory pressure; measured: leftover persists
@@ -104,36 +120,60 @@ def main() -> int:
         timings[name] = round(statistics.median(iters), 3)
         history.append(
             {"ts": run_ts, "sf": sf, "cpus": CPUS, "query": name, "iters": iters,
-             "median": timings[name]}
+             "median": timings[name], "steal_pct": steals}
         )
 
     # KG pipeline throughput (the BASELINE.json headline metric).
     # The synthetic corpus is materialized to parquet FIRST (untimed):
     # the measured number is pipeline throughput over a stored table,
-    # not Python generator speed. One iteration — it IS a multi-stage
-    # job with internal fan-out; its variance is dominated by real work.
+    # not Python generator speed. Median-of-3 like every other query
+    # (round 3 published a single contaminated iteration as the
+    # headline); each iteration gets a FRESH run dir so fingerprint
+    # resume can't short-circuit the work, all sharing one corpus.
     relational.release_caches()
     spark.catalog.clearCache()  # pipeline must not inherit query caches
     kg_dir = tempfile.mkdtemp(prefix="kgflow_bench_")
+    kg_iters, kg_steals = [], []
     try:
         corpus_path = os.path.join(kg_dir, "corpus")
         fixtures.source_files(spark, KG_FILES).write.parquet(corpus_path)
         src = spark.read.parquet(corpus_path)
-        t0 = time.monotonic()
-        report = run_pipeline(
-            spark,
-            src,
-            os.path.join(kg_dir, "run"),
-            corpus_fingerprint=f"bench-{KG_FILES}",
-            validate=False,
-        )
-        kg_elapsed = time.monotonic() - t0
+        for i in range(ITERS):
+            run_dir = os.path.join(kg_dir, f"run{i}")
+            elapsed, window, report = timed_audited(
+                lambda: run_pipeline(
+                    spark,
+                    src,
+                    run_dir,
+                    corpus_fingerprint=f"bench-{KG_FILES}",
+                    validate=False,
+                ),
+                # a contaminated retry must also recompute, not resume
+                max_retries=0,
+            )
+            if window.contaminated():
+                shutil.rmtree(run_dir, ignore_errors=True)
+                run_dir = os.path.join(kg_dir, f"run{i}r")
+                elapsed, window, report = timed_audited(
+                    lambda: run_pipeline(
+                        spark, src, run_dir,
+                        corpus_fingerprint=f"bench-{KG_FILES}", validate=False,
+                    ),
+                    max_retries=0,
+                )
+            kg_iters.append(round(elapsed, 3))
+            kg_steals.append(window.steal_pct)
+            max_steal = max(max_steal, window.steal_pct)
+            shutil.rmtree(run_dir, ignore_errors=True)
+            spark.catalog.clearCache()
     finally:
         shutil.rmtree(kg_dir, ignore_errors=True)
+    kg_elapsed = statistics.median(kg_iters)
     timings["kg_pipeline"] = round(kg_elapsed, 3)
     history.append(
         {"ts": run_ts, "sf": sf, "cpus": CPUS, "query": "kg_pipeline",
-         "iters": [timings["kg_pipeline"]], "median": timings["kg_pipeline"],
+         "iters": kg_iters, "median": timings["kg_pipeline"],
+         "steal_pct": kg_steals,
          "n_files": KG_FILES, "triples": report.triples_emitted}
     )
 
@@ -154,6 +194,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "iters": ITERS,
+                "max_steal_pct": round(max_steal, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "kg": {
                     "n_files": KG_FILES,

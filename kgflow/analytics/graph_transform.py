@@ -68,6 +68,48 @@ def to_edges(
     )
 
 
+def to_edges_multi(
+    df: DataFrame,
+    specs: list[tuple[str, str, str, str, str]],
+) -> DataFrame:
+    """SEVERAL edge families from ONE scan of the same table: each row
+    explodes into one struct per (from_col, from_label, to_col,
+    to_label, rel_type) spec, then a single dropDuplicates covers all
+    families at once (rel_type is part of the key, so families can't
+    collapse into each other).
+
+    Equivalent to unionByName(to_edges(df, ...) per spec) but with one
+    table scan and ONE distinct-shuffle at len(specs)x rows instead of
+    len(specs) scans + shuffles (round-3 verdict item 8).
+
+    Measured trade (sf0.1, local[32], 8-iteration medians): the fused
+    shape is 2.5s vs 1.3s for the two-scan union — LOCALLY SLOWER,
+    because the parquet is page-cached so the duplicate scan is free
+    while the array-of-structs explode pays real per-row allocation.
+    It is still the committed shape because at cluster scale the scan
+    is cold object-store I/O and dominates: two-scan reads 4 column
+    chunks + decodes l_partkey twice where fused reads 3 chunks once
+    (~30% less I/O), and shuffle volume is identical (2x rows in one
+    exchange vs 1x rows in two). The bench carries the ~1.2s local
+    cost; the 100TB plan is the one you'd want."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.concat(F.lit(fl + ":"), F.col(fc).cast("string")).alias(":START_ID"),
+                F.concat(F.lit(tl + ":"), F.col(tc).cast("string")).alias(":END_ID"),
+                F.lit(rt).alias(":TYPE"),
+            )
+            for fc, fl, tc, tl, rt in specs
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("e"))
+        .select("e.*")
+        .dropDuplicates([":START_ID", ":END_ID", ":TYPE"])
+        .withColumn("properties", F.lit("{}"))
+    )
+
+
 def ecommerce_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """The reference's whole graph-transformation stage applied to the
     TPC-H-ish tables: Customer/Order/Part/Supplier/Nation nodes,
@@ -88,8 +130,16 @@ def ecommerce_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     )
     edges = (
         to_edges(o, "o_custkey", "Customer", "o_orderkey", "Order", "PLACED")
-        .unionByName(to_edges(li, "l_orderkey", "Order", "l_partkey", "Part", "CONTAINS"))
-        .unionByName(to_edges(li, "l_partkey", "Part", "l_suppkey", "Supplier", "SUPPLIED_BY"))
+        .unionByName(
+            # both lineitem families from a single fact-table scan
+            to_edges_multi(
+                li,
+                [
+                    ("l_orderkey", "Order", "l_partkey", "Part", "CONTAINS"),
+                    ("l_partkey", "Part", "l_suppkey", "Supplier", "SUPPLIED_BY"),
+                ],
+            )
+        )
         .unionByName(to_edges(c, "c_custkey", "Customer", "c_nationkey", "Nation", "LOCATED_IN"))
         .unionByName(to_edges(s, "s_suppkey", "Supplier", "s_nationkey", "Nation", "LOCATED_IN"))
     )

@@ -34,6 +34,14 @@ def test_column_pruning_on_dedup_exact(spark):
     assert "n_chars" not in scan_schema and "source" not in scan_schema
 
 
+def test_edges_per_type_scans_lineitem_once(spark):
+    """Both lineitem-derived edge families (CONTAINS, SUPPLIED_BY) must
+    come from ONE fact-table scan via to_edges_multi — at cluster scale
+    the duplicate cold scan is the dominant cost (round-3 verdict #8)."""
+    plan = plan_of(QUERIES["graph_edges_per_type"](spark, SF_DIR), mode="simple")
+    assert plan.count("lineitem") == 1, plan
+
+
 def test_dimension_join_broadcasts(spark):
     plan = plan_of(QUERIES["join_orders_customers"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan

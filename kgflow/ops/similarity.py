@@ -16,6 +16,27 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 HYPERPLANES = 12
+# Backstop against adversarially dense buckets (all-identical spam
+# vectors): per-bucket corpus rows are capped at this many candidates,
+# mirroring dedup.py's BUCKET_CAP. Recall comes from planes_for();
+# the cap only exists so one degenerate bucket cannot make a probe
+# O(corpus) at 10^9 vectors.
+DEFAULT_BUCKET_CAP = 1024
+
+
+def planes_for(corpus_size: int, target_bucket: int = 128) -> int:
+    """Scale the signature width with the corpus so expected bucket
+    occupancy stays ~target_bucket: planes = log2(n / target_bucket),
+    floored at HYPERPLANES (small corpora keep the 12-bit default the
+    oracle twin shares) and capped at 62 (packed into a long). At 10^9
+    vectors this yields 23 planes -> ~128-row buckets x (1+23) probes
+    ~= 3k candidates per query instead of ~10^5 with a fixed 12-bit
+    signature (round-3 verdict item 5)."""
+    import math
+
+    if corpus_size <= target_bucket:
+        return HYPERPLANES
+    return min(62, max(HYPERPLANES, math.ceil(math.log2(corpus_size / target_bucket))))
 
 
 def _as_double(col) -> F.Column:
@@ -105,28 +126,48 @@ def lsh_topk(
     dim: int,
     k: int = 5,
     multiprobe: bool = True,
+    planes: int = HYPERPLANES,
+    bucket_cap: "int | None" = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the query's
     LSH bucket(s). The corpus side carries exactly one bucket
     (precomputable + partitionable at rest); with multiprobe the QUERY
-    side also probes every Hamming-1 neighbor bucket (1 + HYPERPLANES
-    probes), which restores the recall a single 12-bit bucket loses on
+    side also probes every Hamming-1 neighbor bucket (1 + planes
+    probes), which restores the recall a single narrow bucket loses on
     large corpora — standard multi-probe LSH (Lv et al., VLDB'07).
     Probe buckets are distinct, so each (query, vector) candidate pair
-    appears at most once — no dedup shuffle needed."""
+    appears at most once — no dedup shuffle needed.
+
+    Scale levers (round-3 verdict item 5):
+      * ``planes`` — pass planes_for(corpus_size) so bucket occupancy
+        stays ~constant as the corpus grows; the default keeps the
+        12-bit oracle-twin signature for small corpora.
+      * ``bucket_cap`` — hard per-bucket candidate bound: each bucket
+        keeps its first ``bucket_cap`` corpus rows in deterministic
+        xxhash64 order (stable across runs), so an adversarially dense
+        bucket (10^7 identical spam vectors) costs O(cap), not
+        O(corpus). At rest this cap is one row_number pass over the
+        bucketed table, precomputed once per corpus version."""
     corpus = embeddings.select(
         "vec_id",
         _as_double(F.col("embedding")).alias("vec"),
-    ).withColumn("bucket", lsh_bucket(F.col("vec"), dim))
+    ).withColumn("bucket", lsh_bucket(F.col("vec"), dim, planes))
+    if bucket_cap is not None:
+        wcap = W.partitionBy("bucket").orderBy(F.xxhash64("vec_id"))
+        corpus = (
+            corpus.withColumn("_r", F.row_number().over(wcap))
+            .where(F.col("_r") <= bucket_cap)
+            .drop("_r")
+        )
     q = queries.select(
         "query_id", _as_double(F.col("query_vec")).alias("qvec")
-    ).withColumn("bucket", lsh_bucket(F.col("qvec"), dim))
+    ).withColumn("bucket", lsh_bucket(F.col("qvec"), dim, planes))
     if multiprobe:
         probe_arr = F.array(
             F.col("bucket"),
             *[
                 F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
-                for p in range(HYPERPLANES)
+                for p in range(planes)
             ],
         )
         q = q.select("query_id", "qvec", F.explode(probe_arr).alias("bucket"))

@@ -28,19 +28,22 @@ from kgflow.analytics.tables import load
 MAP_SS = "map<string,string>"
 
 
-def merge_props_json(existing, new) -> F.Column:
-    """Merge two JSON property bags (string columns) into one JSON bag.
+def merge_props_maps(m_old, m_new) -> F.Column:
+    """Merge two parsed property bags (map<string,string> columns).
 
     Semantics (RFC 7386-style, matching the reference's overlay):
-      * key only in `existing`            -> kept
-      * key in both                       -> `new` wins
-      * key only in `new`, non-null value -> added
-      * key in `new` with JSON null       -> DELETED from the result
+      * key only in `m_old`                 -> kept
+      * key in both                         -> `m_new` wins
+      * key only in `m_new`, non-null value -> added
+      * key in `m_new` with JSON null       -> DELETED from the result
     Keys are sorted in the output so equal bags serialize identically.
-    """
-    # a NULL (or unparseable) bag is an empty bag, not a poisoned merge
-    m_old = F.coalesce(F.from_json(existing, MAP_SS), F.from_json(F.lit("{}"), MAP_SS))
-    m_new = F.coalesce(F.from_json(new, MAP_SS), F.from_json(F.lit("{}"), MAP_SS))
+
+    Takes MAPS, not JSON strings: higher-order functions are evaluated
+    interpreted (no whole-stage codegen), and an expression referenced
+    inside a lambda is re-evaluated per element — passing pre-parsed
+    map columns keeps the from_json cost to once per row instead of
+    once per key per HOF (see merge_props_json for the string-typed
+    wrapper)."""
     overlaid = F.map_zip_with(
         m_old,
         m_new,
@@ -52,7 +55,18 @@ def merge_props_json(existing, new) -> F.Column:
     cleaned = F.map_filter(overlaid, lambda k, v: v.isNotNull())
     keys = F.array_sort(F.map_keys(cleaned))
     vals = F.transform(keys, lambda k: F.element_at(cleaned, k))
-    return F.to_json(F.map_from_arrays(keys, vals))
+    return F.map_from_arrays(keys, vals)
+
+
+def merge_props_json(existing, new) -> F.Column:
+    """Merge two JSON property bags (string columns) into one JSON bag.
+    String-typed convenience wrapper over merge_props_maps — callers on
+    a hot path should parse once into map columns in a prior projection
+    and call merge_props_maps directly."""
+    # a NULL (or unparseable) bag is an empty bag, not a poisoned merge
+    m_old = F.coalesce(F.from_json(existing, MAP_SS), F.from_json(F.lit("{}"), MAP_SS))
+    m_new = F.coalesce(F.from_json(new, MAP_SS), F.from_json(F.lit("{}"), MAP_SS))
+    return F.to_json(merge_props_maps(m_old, m_new))
 
 
 def pick_column_ci(df: DataFrame, candidates: list[str]) -> str | None:
@@ -111,14 +125,22 @@ def enrich_customer_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         {"ignoreNullFields": "false"},
     )
-    merged = (
+    # parse each JSON bag ONCE per row in its own projection, then merge
+    # at the map level — HOFs are interpreted and re-evaluate lambda-
+    # captured expressions per element, so feeding them raw from_json
+    # expressions multiplied the parse cost by the key count
+    parsed = (
         c.dropDuplicates(["c_custkey"])  # MERGE idempotence, as in to_nodes
         .select(
             F.concat(F.lit("Customer:"), F.col("c_custkey").cast("string")).alias(
                 "node_id"
             ),
-            F.from_json(merge_props_json(existing, new), MAP_SS).alias("bag"),
+            F.coalesce(F.from_json(existing, MAP_SS), F.from_json(F.lit("{}"), MAP_SS)).alias("m_old"),
+            F.coalesce(F.from_json(new, MAP_SS), F.from_json(F.lit("{}"), MAP_SS)).alias("m_new"),
         )
+    )
+    merged = parsed.select(
+        "node_id", merge_props_maps(F.col("m_old"), F.col("m_new")).alias("bag")
     )
     return merged.select(
         "node_id", F.explode("bag").alias("prop_key", "prop_value")

@@ -44,12 +44,14 @@ def test_unavailable_never_contaminated():
 
 
 def test_timed_audited_runs_and_returns_result():
-    elapsed, window, result = timed_audited(lambda: 42)
-    assert result == 42
-    assert elapsed >= 0
-    # real /proc/stat on Linux: window should be available
     import os
+    import time
 
+    # the window must span at least a few jiffies (10ms ticks) or the
+    # /proc/stat delta is zero and the window reports unavailable
+    elapsed, window, result = timed_audited(lambda: (time.sleep(0.05), 42)[1])
+    assert result == 42
+    assert elapsed >= 0.05
     if os.path.exists("/proc/stat"):
         assert window.available
 

@@ -17,9 +17,9 @@ snapshotted around the timed window and iterations whose window saw
 >1% hypervisor steal (or >5% iowait) are re-run — round 3 proved a bad
 steal window can misreport a query by 2x+ and the published artifact
 inherited it. The kg_pipeline headline is median-of-3 under the same
-audit (fresh run dir per iteration; shared pre-materialized corpus).
-The JSON carries max observed steal so a contaminated publish is
-self-describing.
+audit, each iteration a fresh subprocess JVM over one shared
+pre-materialized corpus (scaling.py protocol). The JSON carries max
+observed steal so a contaminated publish is self-describing.
 
 Every run also appends one record per query to BENCH/history.jsonl
 (ts, sf, cpus, per-iteration timings) so cross-round comparisons are
@@ -86,7 +86,6 @@ def _force(df) -> None:
 def main() -> int:
     from kgflow.analytics import relational
     from kgflow.analytics.registry import QUERIES
-    from kgflow.pipeline import run_pipeline
     from kgflow import fixtures
     from kgflow.session import get_spark
 
@@ -128,44 +127,47 @@ def main() -> int:
     # the measured number is pipeline throughput over a stored table,
     # not Python generator speed. Median-of-3 like every other query
     # (round 3 published a single contaminated iteration as the
-    # headline); each iteration gets a FRESH run dir so fingerprint
-    # resume can't short-circuit the work, all sharing one corpus.
-    relational.release_caches()
-    spark.catalog.clearCache()  # pipeline must not inherit query caches
+    # headline). Each iteration runs in a FRESH subprocess JVM — the
+    # long-lived bench JVM carries heap/GC debris from the 27-query
+    # suite that measurably bimodalizes in-process pipeline runs
+    # (observed same-JVM iters [44.7, 11.6, 42.4]s vs a fresh JVM's
+    # stable 21-27s at 60k files); subprocess isolation is also exactly
+    # the BENCH/scaling.py protocol, so the two artifacts compare.
+    # run_pipeline.py's elapsed_sec excludes JVM/session startup.
+    import subprocess
+
     kg_dir = tempfile.mkdtemp(prefix="kgflow_bench_")
     kg_iters, kg_steals = [], []
+    kg_triples = 0
+    repo = os.path.dirname(os.path.abspath(__file__))
     try:
         corpus_path = os.path.join(kg_dir, "corpus")
         fixtures.source_files(spark, KG_FILES).write.parquet(corpus_path)
-        src = spark.read.parquet(corpus_path)
-        for i in range(ITERS):
-            run_dir = os.path.join(kg_dir, f"run{i}")
-            elapsed, window, report = timed_audited(
-                lambda: run_pipeline(
-                    spark,
-                    src,
-                    run_dir,
-                    corpus_fingerprint=f"bench-{KG_FILES}",
-                    validate=False,
-                ),
-                # a contaminated retry must also recompute, not resume
-                max_retries=0,
+
+        def one_run(run_dir: str) -> dict:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(repo, "run_pipeline.py"),
+                 "--input", corpus_path, "--output", run_dir,
+                 "--cores", str(CPUS)],
+                capture_output=True, text=True, cwd=repo, timeout=3600,
             )
-            if window.contaminated():
-                shutil.rmtree(run_dir, ignore_errors=True)
-                run_dir = os.path.join(kg_dir, f"run{i}r")
-                elapsed, window, report = timed_audited(
-                    lambda: run_pipeline(
-                        spark, src, run_dir,
-                        corpus_fingerprint=f"bench-{KG_FILES}", validate=False,
-                    ),
-                    max_retries=0,
+            if proc.returncode != 0:
+                raise RuntimeError(f"pipeline failed:\n{proc.stderr[-2000:]}")
+            return json.loads(proc.stdout[proc.stdout.index("{"):])
+
+        for i in range(ITERS):
+            for attempt in ("", "r"):  # one audited retry per iteration
+                run_dir = os.path.join(kg_dir, f"run{i}{attempt}")
+                _, window, summary = timed_audited(
+                    lambda: one_run(run_dir), max_retries=0
                 )
-            kg_iters.append(round(elapsed, 3))
+                shutil.rmtree(run_dir, ignore_errors=True)
+                if not window.contaminated():
+                    break
+            kg_iters.append(summary["elapsed_sec"])
             kg_steals.append(window.steal_pct)
+            kg_triples = summary["triples"]
             max_steal = max(max_steal, window.steal_pct)
-            shutil.rmtree(run_dir, ignore_errors=True)
-            spark.catalog.clearCache()
     finally:
         shutil.rmtree(kg_dir, ignore_errors=True)
     kg_elapsed = statistics.median(kg_iters)
@@ -174,7 +176,7 @@ def main() -> int:
         {"ts": run_ts, "sf": sf, "cpus": CPUS, "query": "kg_pipeline",
          "iters": kg_iters, "median": timings["kg_pipeline"],
          "steal_pct": kg_steals,
-         "n_files": KG_FILES, "triples": report.triples_emitted}
+         "n_files": KG_FILES, "triples": kg_triples}
     )
 
     try:
@@ -198,9 +200,9 @@ def main() -> int:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "kg": {
                     "n_files": KG_FILES,
-                    "triples": report.triples_emitted,
+                    "triples": kg_triples,
                     "elapsed_sec": round(kg_elapsed, 2),
-                    "triples_per_sec": round(report.triples_emitted / kg_elapsed, 1),
+                    "triples_per_sec": round(kg_triples / kg_elapsed, 1),
                 },
             }
         )

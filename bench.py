@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "langid_predict",
     "text_quality",
     "token_stats_by_lang",

@@ -200,6 +200,21 @@ _register(
     similarity.lsh_topk_oracle_sql(dim=64, k=5),
 )
 
+# IVF-flat twin of the LSH path: nearest-centroid inverted lists with
+# nprobe probing (the other canonical ANN index family the task brief
+# names). Centroids are hash-seeded so the oracle embeds identical
+# constants — see similarity._centroid.
+_register(
+    "ann_ivf_topk",
+    lambda spark, sf: similarity.ivf_topk(
+        load(spark, sf, "embeddings"),
+        _queries_from_embeddings(spark, sf),
+        dim=_embedding_dim(spark, sf),
+        k=5,
+    ),
+    similarity.ivf_topk_oracle_sql(dim=64, k=5),
+)
+
 
 def _embedding_dim(spark: SparkSession, sf: str) -> int:
     row = load(spark, sf, "embeddings").select(F.size("embedding")).first()

@@ -188,6 +188,170 @@ def lsh_topk(
     )
 
 
+N_CENTROIDS = 16
+N_PROBE = 3
+
+
+def _centroid(dim: int, c: int) -> list[float]:
+    """Deterministic pseudo-random centroid — same hashlib trick as
+    _hyperplane, different salt. A production IVF trains centroids with
+    k-means offline; a hash-seeded coarse quantizer keeps the partition
+    function bit-reproducible across engines (the DuckDB oracle embeds
+    the identical constants), which learned float centroids cannot
+    guarantee. The *index structure* — assign to nearest centroid,
+    probe the nprobe nearest lists — is exactly IVF-flat."""
+    import hashlib
+
+    vals = []
+    for coord in range(dim):
+        h = int.from_bytes(
+            hashlib.sha256(f"kgflow:ivf:{c}:{coord}".encode()).digest()[:8], "big"
+        )
+        vals.append((h / 2**63) - 1.0)
+    return vals
+
+
+def _centroid_sims(col, dim: int, k: int) -> F.Column:
+    """Array of cosine similarities to the k centroids, rounded to 6
+    decimals so argmax ties break identically in Spark and DuckDB
+    (first/lowest centroid index wins on equal rounded values)."""
+    return F.array(
+        *[
+            F.round(
+                cosine(col, F.array(*[F.lit(v) for v in _centroid(dim, c)])), 6
+            )
+            for c in range(k)
+        ]
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    nprobe: int = N_PROBE,
+    cluster_cap: "int | None" = None,
+) -> DataFrame:
+    """Approximate cosine top-k via an inverted-file (IVF-flat) index:
+    each corpus vector is assigned to its nearest coarse centroid (ONE
+    cluster id — precomputable and partitionable at rest, like the LSH
+    bucket), and each query probes only its ``nprobe`` nearest
+    inverted lists. Candidates = nprobe/n_centroids of the corpus per
+    query instead of all of it; recall comes from cluster locality,
+    tunable via nprobe.
+
+    All arithmetic is JVM-side higher-order expressions; the DuckDB
+    oracle (ivf_topk_oracle_sql) embeds the same centroid constants so
+    assignments match bit-for-bit. ``cluster_cap`` mirrors lsh_topk's
+    bucket_cap: deterministic per-cluster candidate bound against
+    degenerate clusters."""
+    sims = _centroid_sims(_as_double(F.col("embedding")), dim, n_centroids)
+    corpus = embeddings.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("vec"),
+        # first position of the max similarity -> lowest index on ties
+        (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cluster"),
+    )
+    if cluster_cap is not None:
+        wcap = W.partitionBy("cluster").orderBy(F.xxhash64("vec_id"))
+        corpus = (
+            corpus.withColumn("_r", F.row_number().over(wcap))
+            .where(F.col("_r") <= cluster_cap)
+            .drop("_r")
+        )
+    qsims = _centroid_sims(_as_double(F.col("query_vec")), dim, n_centroids)
+    # sort (neg sim, cluster) structs: sim desc, cluster asc on ties —
+    # the same order the oracle's ROW_NUMBER produces
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-qsims[c]).alias("negsim"), F.lit(c).cast("int").alias("cluster")
+                )
+                for c in range(n_centroids)
+            ]
+        )
+    )
+    q = queries.select(
+        "query_id",
+        _as_double(F.col("query_vec")).alias("qvec"),
+        F.explode(
+            F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cluster"])
+        ).alias("cluster"),
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def ivf_topk_oracle_sql(
+    dim: int, k: int = 5, n_centroids: int = N_CENTROIDS, nprobe: int = N_PROBE
+) -> str:
+    """DuckDB twin of ivf_topk: identical hashlib-derived centroids,
+    identical rounded-argmax tie-break (sim DESC, centroid index ASC)."""
+    def arr(c: int) -> str:
+        return "[" + ", ".join(repr(v) for v in _centroid(dim, c)) + "]"
+
+    centroid_rows = "\nUNION ALL ".join(
+        f"SELECT {c} AS c, {arr(c)} AS cvec" for c in range(n_centroids)
+    )
+    return f"""
+WITH centroids AS (
+  {centroid_rows}
+),
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, vec, c AS cluster FROM (
+    SELECT e.vec_id, e.vec, c.c,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.vec, c.cvec), 6) DESC, c.c
+           ) AS rn
+    FROM v e CROSS JOIN centroids c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 5
+),
+probes AS (
+  SELECT query_id, qvec, c AS cluster FROM (
+    SELECT q.query_id, q.qvec, c.c,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qvec, c.cvec), 6) DESC, c.c
+           ) AS rn
+    FROM q CROSS JOIN centroids c
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_cosine_similarity(a.vec, p.qvec), 6) AS cos
+  FROM assigned a JOIN probes p
+    ON a.cluster = p.cluster AND a.vec_id != p.query_id
+)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def lsh_topk_oracle_sql(dim: int, k: int = 5, planes: int = HYPERPLANES) -> str:
     """DuckDB SQL twin of lsh_topk (multiprobe): the hyperplane
     constants are the same hashlib-derived values lsh_bucket embeds in

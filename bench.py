@@ -101,13 +101,14 @@ def main() -> int:
     history: list[dict] = []
     max_steal = 0.0
     for name in BENCH_QUERIES:
-        iters, steals = [], []
+        iters, steals, loads = [], [], []
         for _ in range(ITERS):
             elapsed, window, _ = timed_audited(
                 lambda: _force(QUERIES[name](spark, SF_DIR))
             )
             iters.append(round(elapsed, 3))
             steals.append(window.steal_pct)
+            loads.append(window.load1)
             max_steal = max(max_steal, window.steal_pct)
         # drop caches BETWEEN queries (iterations of one query may share
         # them — a disclosed warm-cache median) so no query inherits
@@ -120,7 +121,7 @@ def main() -> int:
         timings[name] = round(statistics.median(iters), 3)
         history.append(
             {"ts": run_ts, "sf": sf, "cpus": CPUS, "query": name, "iters": iters,
-             "median": timings[name], "steal_pct": steals}
+             "median": timings[name], "steal_pct": steals, "load1": loads}
         )
 
     # KG pipeline throughput (the BASELINE.json headline metric).
@@ -138,7 +139,7 @@ def main() -> int:
     import subprocess
 
     kg_dir = tempfile.mkdtemp(prefix="kgflow_bench_")
-    kg_iters, kg_steals = [], []
+    kg_iters, kg_steals, kg_loads = [], [], []
     kg_triples = 0
     repo = os.path.dirname(os.path.abspath(__file__))
     try:
@@ -167,6 +168,7 @@ def main() -> int:
                     break
             kg_iters.append(summary["elapsed_sec"])
             kg_steals.append(window.steal_pct)
+            kg_loads.append(window.load1)
             kg_triples = summary["triples"]
             max_steal = max(max_steal, window.steal_pct)
     finally:
@@ -176,7 +178,7 @@ def main() -> int:
     history.append(
         {"ts": run_ts, "sf": sf, "cpus": CPUS, "query": "kg_pipeline",
          "iters": kg_iters, "median": timings["kg_pipeline"],
-         "steal_pct": kg_steals,
+         "steal_pct": kg_steals, "load1": kg_loads,
          "n_files": KG_FILES, "triples": kg_triples}
     )
 

@@ -34,10 +34,17 @@ def _cpu_ticks() -> "list[int] | None":
 
 @dataclass
 class CpuWindow:
-    """steal/iowait percentages over a start()..stop() window."""
+    """steal/iowait percentages over a start()..stop() window.
+
+    load1 is the 1-min load average sampled at stop() — diagnostic
+    only, never gates: this host shows 2-3x run-time swings with
+    steal<0.3% (co-tenant disk/memory-bus contention the steal counter
+    cannot see), and publishing the load alongside each iteration lets
+    a reader attribute an outlier without re-running."""
 
     steal_pct: float = 0.0
     iowait_pct: float = 0.0
+    load1: float = 0.0
     available: bool = False
 
     def contaminated(self, steal_limit: float = 1.0, iowait_limit: float = 5.0) -> bool:
@@ -67,16 +74,23 @@ class CpuAudit:
         return cls(_cpu_ticks())
 
     def stop(self) -> CpuWindow:
+        import os
+
+        try:
+            load1 = round(os.getloadavg()[0], 2)
+        except OSError:
+            load1 = 0.0
         after = _cpu_ticks()
         if self._before is None or after is None:
-            return CpuWindow()
+            return CpuWindow(load1=load1)
         delta = [b - a for a, b in zip(self._before, after)]
         total = sum(delta)
         if total <= 0:
-            return CpuWindow()
+            return CpuWindow(load1=load1)
         return CpuWindow(
             steal_pct=round(100.0 * delta[_IDX_STEAL] / total, 3),
             iowait_pct=round(100.0 * delta[_IDX_IOWAIT] / total, 3),
+            load1=load1,
             available=True,
         )
 

@@ -254,3 +254,35 @@ def test_cli_schema_mode_flag(tmp_path):
     )
     assert rc == 0
     assert os.path.exists(os.path.join(out, "ingested", "_MANIFEST.json"))
+
+
+def test_materialize_spreads_hot_node_across_partitions(spark):
+    """Skew proof for the north_rule's 'salted, skew-aware' requirement:
+    a degenerate subject (one repo declaring 90% of all symbols) must
+    NOT land on one output partition. materialize() repartitions edges
+    by BOTH endpoints, so the hot :START_ID spreads by its distinct
+    :END_IDs — no artificial salt column needed."""
+    from kgflow.stages.materialize import materialize
+
+    hot = [("repo:hot", "DECLARES", f"sym_{i}", "sha", "repo:hot", "py")
+           for i in range(18_000)]
+    cold = [(f"repo:c{i}", "DECLARES", f"other_{i}", "sha", f"repo:c{i}", "py")
+            for i in range(2_000)]
+    triples = spark.createDataFrame(
+        hot + cold,
+        "subj string, pred string, obj string, src_sha string, repo string, lang string",
+    )
+    cmap = spark.createDataFrame([], "member string, canonical string")
+    _, edges = materialize(triples, cmap, out_partitions=16)
+
+    sizes = [
+        r.n
+        for r in edges.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == 16, "hot key collapsed the partition count"
+    mean = sum(sizes) / len(sizes)
+    assert max(sizes) <= 2 * mean, (
+        f"straggler partition: max {max(sizes)} vs mean {mean:.0f} ({sizes})"
+    )

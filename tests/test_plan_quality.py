@@ -47,6 +47,16 @@ def test_dimension_join_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
 
 
+@pytest.mark.parametrize("name", ["ann_lsh_topk", "ann_ivf_topk"])
+def test_ann_queries_broadcast_the_query_side(spark, name):
+    """ANN probes must broadcast the tiny query set against a single
+    corpus pass — a shuffle join here would re-shuffle the corpus per
+    query batch."""
+    plan = plan_of(QUERIES[name](spark, SF_DIR), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_extraction_is_single_narrow_stage(spark):
     """The extraction plan must contain no shuffle (Exchange) at all —
     scan → project/explode → output, fully pipelined."""

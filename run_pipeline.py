@@ -157,6 +157,24 @@ def main(argv: list[str] | None = None) -> int:
         },
     }
     print(json.dumps(summary, indent=2))
+
+    # Reap the JVM before exiting. PySpark's shutdown path lets the JVM
+    # die asynchronously on broken pipe AFTER the Python process exits,
+    # so the JVM's CPU time is charged to nobody in this process tree —
+    # and the bench's co-tenant CPU audit (kgflow/audit.py) counts
+    # exactly such un-reaped ticks as foreign load, falsely flagging
+    # every fresh-subprocess pipeline iteration as contaminated.
+    # Terminate + wait rolls the JVM's rusage into this process, which
+    # the parent's RUSAGE_CHILDREN snapshot then attributes correctly.
+    # The timed summary above is unaffected (already printed).
+    proc = getattr(getattr(spark.sparkContext, "_gateway", None), "proc", None)
+    spark.stop()
+    if proc is not None:
+        try:
+            proc.terminate()
+            proc.wait(timeout=30)
+        except Exception:
+            pass
     return 0
 
 

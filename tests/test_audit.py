@@ -9,7 +9,7 @@ def test_window_math_from_synthetic_ticks():
     # cpu user nice system idle iowait irq softirq steal ...
     before = [100, 0, 100, 700, 50, 0, 0, 50]
     after = [200, 0, 200, 1200, 150, 0, 0, 250]
-    audit = CpuAudit(before)
+    audit = CpuAudit(before, None)
     audit_stop = CpuAudit.stop.__get__(audit)
 
     # monkey-free: feed "after" by temporarily patching _cpu_ticks
@@ -32,7 +32,7 @@ def test_unavailable_never_contaminated():
     w = CpuWindow()
     assert not w.available and not w.contaminated()
     # degenerate: zero delta
-    a = CpuAudit([1, 2, 3])
+    a = CpuAudit([1, 2, 3], None)
     import kgflow.audit as mod
 
     orig = mod._cpu_ticks
@@ -60,3 +60,51 @@ def test_contamination_thresholds():
     assert CpuWindow(steal_pct=1.5, iowait_pct=0, available=True).contaminated()
     assert CpuWindow(steal_pct=0.5, iowait_pct=6.0, available=True).contaminated()
     assert not CpuWindow(steal_pct=0.5, iowait_pct=0.5, available=True).contaminated()
+    # round-5: co-tenant CPU share gates too (the load1-swing failure
+    # mode steal cannot see), with its own threshold
+    assert CpuWindow(other_busy_pct=15.0, available=True).contaminated()
+    assert not CpuWindow(other_busy_pct=5.0, available=True).contaminated()
+    assert not CpuWindow(other_busy_pct=15.0, available=True).contaminated(
+        other_busy_limit=20.0
+    )
+
+
+def test_other_busy_pct_from_synthetic_ticks():
+    """other_busy = (host busy - our own tree) / total. Synthetic:
+    total delta 1000 ticks, idle 500, iowait 100 -> busy 400; our own
+    tree consumed 2.0 s at 100 Hz = 200 ticks -> other = 20%."""
+    import kgflow.audit as mod
+
+    before = [100, 0, 100, 700, 50, 0, 0, 50]
+    after = [300, 0, 300, 1200, 150, 0, 0, 50]
+    audit = CpuAudit(before, 10.0)
+    orig_ticks, orig_own = mod._cpu_ticks, mod._own_cpu_seconds
+    mod._cpu_ticks = lambda: after
+    hz = __import__('os').sysconf('SC_CLK_TCK')
+    mod._own_cpu_seconds = lambda: 10.0 + 200.0 / hz
+    try:
+        w = audit.stop()
+    finally:
+        mod._cpu_ticks, mod._own_cpu_seconds = orig_ticks, orig_own
+    assert w.available
+    assert w.other_busy_pct == 20.0
+    assert w.contaminated()  # 20% co-tenant CPU > 10% limit
+
+
+def test_own_cpu_seconds_sees_own_burn():
+    """Burning ~0.2 s of CPU in-process must show up in the
+    own-tree counter, so it is NOT attributed to co-tenants."""
+    import os
+
+    if not os.path.exists('/proc/stat'):
+        return
+    from kgflow.audit import _own_cpu_seconds
+
+    a = _own_cpu_seconds()
+    t0 = __import__('time').process_time()
+    x = 0
+    while __import__('time').process_time() - t0 < 0.2:
+        x += 1
+    b = _own_cpu_seconds()
+    assert a is not None and b is not None
+    assert b - a >= 0.15

@@ -277,11 +277,81 @@ def test_ivf_topk_recall_and_cluster_cap(spark):
     r1 = len(exact & probe1) / len(exact)
     assert r3 >= r1, "more probes must not lose recall"
     assert r3 >= 0.3, f"ivf nprobe=3 recall {r3:.2f} below floor"
-    # cluster_cap bounds every inverted list
-    capped = similarity.ivf_topk(
-        vectors, queries, dim=16, k=5, cluster_cap=10
+    # cluster_cap bounds every inverted list: assert on the actual
+    # per-cluster candidate counts of the at-rest index (round-4 advice:
+    # the old `capped.count() >= 0` only proved the plan executed), and
+    # that the cap genuinely binds on this corpus so the check is not
+    # vacuous
+    uncapped_max = max(
+        r["count"]
+        for r in similarity.ivf_assignments(vectors, dim=16)
+        .groupBy("cluster")
+        .count()
+        .collect()
     )
-    assert capped.count() >= 0  # plan executes with the cap applied
+    assert uncapped_max > 10, "corpus too small for the cap to bind — test is vacuous"
+    per_cluster = (
+        similarity.ivf_assignments(vectors, dim=16, cluster_cap=10)
+        .groupBy("cluster")
+        .count()
+        .collect()
+    )
+    assert per_cluster and max(r["count"] for r in per_cluster) <= 10
+    # and the capped top-k query still executes end to end
+    assert similarity.ivf_topk(vectors, queries, dim=16, k=5, cluster_cap=10).count() > 0
+
+
+def test_trained_centroids_beat_hash_seeded_recall(spark):
+    """Round-4 verdict item 4: spherical-k-means-trained coarse
+    centroids must beat the data-blind hash-seeded ones at equal nprobe
+    on the clustered 100k corpus (same corpus construction as
+    test_multiprobe_lsh_recall_at_100k). nprobe=1 exposes pure
+    quantizer quality — with one probe, recall IS how well the centroid
+    partition respects the data's cluster structure."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    n, dim, nc = 100_000, 16, 2000
+    centers = rng.normal(size=(nc, dim))
+    idx = rng.integers(0, nc, size=n)
+    vecs = centers[idx] + 0.05 * rng.normal(size=(n, dim))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n),
+            "embedding": [v.astype("float32").tolist() for v in vecs],
+            "label": idx.astype("int32"),
+        }
+    )
+    vectors = spark.createDataFrame(
+        pdf, "vec_id long, embedding array<float>, label int"
+    )
+    queries = vectors.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(vectors, queries, k=5).collect()
+    }
+    trained = similarity.train_centroids(vectors, dim=dim, n_centroids=16, n_iters=4)
+    assert trained.count() == 16
+    got_trained = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_topk(
+            vectors, queries, dim=dim, k=5, nprobe=1, centroids=trained
+        ).collect()
+    }
+    got_seeded = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_topk(
+            vectors, queries, dim=dim, k=5, nprobe=1
+        ).collect()
+    }
+    recall_trained = len(exact & got_trained) / len(exact)
+    recall_seeded = len(exact & got_seeded) / len(exact)
+    assert recall_trained > recall_seeded, (
+        f"trained {recall_trained:.3f} must beat hash-seeded {recall_seeded:.3f}"
+    )
 
 
 def test_lsh_recall_and_bucket_cap_at_1m(spark):

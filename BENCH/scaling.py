@@ -247,6 +247,9 @@ windows with >1% hypervisor steal or >5% iowait are re-run up to twice
 and the per-run percentages above are published with the result — a
 contaminated publish is self-describing (round-3 verdict item 2/3).
 {wide_md}
+The per-round throughput headline (bench.py's kg row) and its
+fixed-cost reconciliation live in BENCH/HEADLINE.md.
+
 Environment: {platform.platform()}, Python {platform.python_version()},
 Spark local-cluster mode (separate executor JVMs + per-executor Python
 workers), 8 GiB per executor.

@@ -83,6 +83,7 @@ def run_once(label: str, master: str, corpus: str, max_retries: int = 2) -> dict
             payload = json.loads(proc.stdout[proc.stdout.index("{"):])
             payload["steal_pct"] = window.steal_pct
             payload["iowait_pct"] = window.iowait_pct
+            payload["other_busy_pct"] = window.other_busy_pct
             if not window.contaminated() or attempt == max_retries:
                 if window.contaminated():
                     print(
@@ -135,6 +136,7 @@ def measure(corpus: str, runs: int, levels: dict[str, str], warmup: bool = True)
     raw: dict[str, list[float]] = {label: [] for label in levels}
     steals: dict[str, list[float]] = {label: [] for label in levels}
     iowaits: dict[str, list[float]] = {label: [] for label in levels}
+    others: dict[str, list[float]] = {label: [] for label in levels}
     triples = None
     for _ in range(runs):
         for label, master in levels.items():
@@ -142,6 +144,7 @@ def measure(corpus: str, runs: int, levels: dict[str, str], warmup: bool = True)
             raw[label].append(r["elapsed_sec"])
             steals[label].append(r.get("steal_pct", -1.0))
             iowaits[label].append(r.get("iowait_pct", -1.0))
+            others[label].append(r.get("other_busy_pct", -1.0))
             triples = r["triples"]
             print(
                 f"# run {label} {r['elapsed_sec']}s steal={r.get('steal_pct')}% "
@@ -156,6 +159,7 @@ def measure(corpus: str, runs: int, levels: dict[str, str], warmup: bool = True)
             "runs": sorted(raw[label]),
             "steal_pct": steals[label],
             "iowait_pct": iowaits[label],
+            "other_busy_pct": others[label],
             "median_sec": med,
             "triples": triples,
             "triples_per_sec": round(triples / med, 1),
@@ -230,10 +234,10 @@ is NOT used because single-JVM threads anti-scale on this host).
 {'One warm-up per level discarded, ' if not args.skip_warmup else 'Warm-up skipped (full-size runs self-warm), '}N/4N runs interleaved
 against host-load drift, median of {args.runs}.
 
-| level | master (executor processes x cores) | median sec | triples | triples/sec | steal% per run | iowait% per run |
-|---|---|---|---|---|---|---|
-| N  | {n['master']} | {n['median_sec']:.2f} | {n['triples']:,} | {n['triples_per_sec']:,} | {n['steal_pct']} | {n['iowait_pct']} |
-| 4N | {n4['master']} | {n4['median_sec']:.2f} | {n4['triples']:,} | {n4['triples_per_sec']:,} | {n4['steal_pct']} | {n4['iowait_pct']} |
+| level | master (executor processes x cores) | median sec | triples | triples/sec | steal% per run | iowait% per run | other-busy% per run |
+|---|---|---|---|---|---|---|---|
+| N  | {n['master']} | {n['median_sec']:.2f} | {n['triples']:,} | {n['triples_per_sec']:,} | {n['steal_pct']} | {n['iowait_pct']} | {n['other_busy_pct']} |
+| 4N | {n4['master']} | {n4['median_sec']:.2f} | {n4['triples']:,} | {n4['triples_per_sec']:,} | {n4['steal_pct']} | {n4['iowait_pct']} | {n4['other_busy_pct']} |
 
 **Scaling efficiency (throughput_4N / throughput_N) / 4 = {efficiency:.3f}**
 (north_rule target >= 0.8 — note a single shared-memory host under-states
@@ -242,10 +246,13 @@ shuffle disk, costs a real 4x-executor cluster does not pay.)
 
 Raw run times (sec): N={n['runs']}, 4N={n4['runs']}
 (shared-host variance is large; interleaving keeps the comparison fair).
-Every run is steal-audited via /proc/stat around its own window;
-windows with >1% hypervisor steal or >5% iowait are re-run up to twice
+Every run is noise-audited via /proc/stat around its own window;
+windows with >1% hypervisor steal, >5% iowait, or >10% co-tenant CPU
+(host busy time minus this process tree — the round-5 gate for the
+near-zero-steal load swings round 4 documented) are re-run up to twice
 and the per-run percentages above are published with the result — a
-contaminated publish is self-describing (round-3 verdict item 2/3).
+contaminated publish is self-describing (round-3 verdict item 2/3,
+round-4 item 2).
 {wide_md}
 The per-round throughput headline (bench.py's kg row) and its
 fixed-cost reconciliation live in BENCH/HEADLINE.md.

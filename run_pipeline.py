@@ -158,23 +158,30 @@ def main(argv: list[str] | None = None) -> int:
     }
     print(json.dumps(summary, indent=2))
 
-    # Reap the JVM before exiting. PySpark's shutdown path lets the JVM
-    # die asynchronously on broken pipe AFTER the Python process exits,
-    # so the JVM's CPU time is charged to nobody in this process tree —
+    # Reap the JVM before exiting — but ONLY when this process owns the
+    # session, i.e. when invoked as a script (argv is None). In-process
+    # callers (tests call cli.main([...]) against the shared pytest
+    # session) must not have their JVM torn down under them.
+    #
+    # Why reap at all: PySpark's shutdown path lets the JVM die
+    # asynchronously on broken pipe AFTER the Python process exits, so
+    # the JVM's CPU time is charged to nobody in this process tree —
     # and the bench's co-tenant CPU audit (kgflow/audit.py) counts
     # exactly such un-reaped ticks as foreign load, falsely flagging
-    # every fresh-subprocess pipeline iteration as contaminated.
-    # Terminate + wait rolls the JVM's rusage into this process, which
-    # the parent's RUSAGE_CHILDREN snapshot then attributes correctly.
-    # The timed summary above is unaffected (already printed).
-    proc = getattr(getattr(spark.sparkContext, "_gateway", None), "proc", None)
-    spark.stop()
-    if proc is not None:
-        try:
-            proc.terminate()
-            proc.wait(timeout=30)
-        except Exception:
-            pass
+    # every fresh-subprocess pipeline iteration as contaminated
+    # (measured ~12% spurious other_busy at 60k files). Terminate +
+    # wait rolls the JVM's rusage into this process, which the parent's
+    # RUSAGE_CHILDREN snapshot then attributes correctly. The timed
+    # summary above is unaffected (already printed).
+    if argv is None:
+        proc = getattr(getattr(spark.sparkContext, "_gateway", None), "proc", None)
+        spark.stop()
+        if proc is not None:
+            try:
+                proc.terminate()
+                proc.wait(timeout=30)
+            except Exception:
+                pass
     return 0
 
 

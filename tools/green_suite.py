@@ -28,6 +28,8 @@ def main() -> int:
         text=True,
     )
     elapsed = round(time.monotonic() - t0, 1)
+    with open("/tmp/kgflow_suite_last.log", "w") as fh:  # full output, for triage
+        fh.write(proc.stdout + proc.stderr)
     tail = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
     counts = {
         k: int(n)

@@ -163,14 +163,31 @@ SELECT query_id, vec_id, cos, rank FROM (
 """,
 )
 
-_register(
-    "dedup_embedding_cosine",
+def _q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     # planted near-dups (see similarity.plant_near_duplicate_vectors):
     # the synthetic embeddings have no natural cos>=0.95 pairs, so the
-    # detector runs over a corpus with every 10th vector re-inserted
-    lambda spark, sf: similarity.embedding_near_duplicates(
-        similarity.plant_near_duplicate_vectors(load(spark, sf, "embeddings")), 0.95
-    ),
+    # detectors run over a corpus with every 10th vector re-inserted.
+    # BOTH blocking strategies run under this one gate row (method
+    # column): label_blocked is the deterministic baseline; lsh_bucketed
+    # is the actual 100 TB plan (no semantic label exists on a raw
+    # crawl) with the degenerate-bucket cap wired, hash-checked against
+    # a DuckDB twin sharing the hyperplane constants.
+    planted = similarity.plant_near_duplicate_vectors(load(spark, sf, "embeddings"))
+    blocked = similarity.embedding_near_duplicates(planted, 0.95).withColumn(
+        "method", F.lit("label_blocked")
+    )
+    lsh = similarity.embedding_near_duplicates_lsh(
+        planted,
+        dim=_embedding_dim(spark, sf),
+        threshold=0.95,
+        bucket_cap=similarity.DEFAULT_BUCKET_CAP,
+    ).withColumn("method", F.lit("lsh_bucketed"))
+    return blocked.unionByName(lsh)
+
+
+_register(
+    "dedup_embedding_cosine",
+    _q_dedup_embedding_cosine,
     """
 WITH planted AS (
   SELECT * FROM embeddings
@@ -180,9 +197,17 @@ WITH planted AS (
 ),
 v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM planted)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(a.vec, b.vec), 6) AS cos
+       round(list_cosine_similarity(a.vec, b.vec), 6) AS cos,
+       'label_blocked' AS method
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.95
+UNION ALL
+SELECT vec_a, vec_b, cos, 'lsh_bucketed' AS method
+FROM ("""
+    + similarity.embedding_near_dup_lsh_oracle_sql(
+        dim=64, threshold=0.95, source="planted"
+    )
+    + """)
 """,
 )
 

@@ -19,37 +19,11 @@ from kgflow.analytics.tables import load
 
 SQL: dict[str, str] = {}
 
-# --------------------------------------------------------------------------
-# Session-scoped tracked caches.  A q_* function returns a LAZY DataFrame,
-# so it cannot unpersist its own multi-referenced CTEs before the caller's
-# terminal action — and Spark's CacheManager pins cached plans until an
-# explicit unpersist, so ContextCleaner never reclaims them.  Queries that
-# persist therefore register here, and callers release after consuming
-# (bench.py does per query; tests assert storage returns to zero).
-# --------------------------------------------------------------------------
-_TRACKED_CACHES: list[DataFrame] = []
-
-
-def track_persist(df: DataFrame) -> DataFrame:
-    """persist() + register for later release_caches()."""
-    df = df.persist()
-    _TRACKED_CACHES.append(df)
-    return df
-
-
-def release_caches() -> int:
-    """Unpersist every tracked cache (call after the terminal action on
-    a query that persists).  Returns the number released."""
-    n = len(_TRACKED_CACHES)
-    for df in _TRACKED_CACHES:
-        try:
-            # blocking: storage info must reflect the release immediately —
-            # async unpersist leaves getRDDStorageInfo() stale under load.
-            df.unpersist(blocking=True)
-        except Exception:
-            pass  # session already stopped — nothing to release
-    _TRACKED_CACHES.clear()
-    return n
+# Session-scoped tracked caches — shared with kgflow.ops (the minhash/
+# simhash signature tables persist the same way the CF CTEs do), so the
+# registry lives in kgflow.caching; re-exported here because bench.py
+# and the storage-flatness test call relational.release_caches().
+from kgflow.caching import release_caches, track_persist  # noqa: E402,F401
 
 
 def cents(col) -> F.Column:
@@ -986,10 +960,15 @@ def q_combined_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    wt = W.orderBy(F.col("n").desc(), F.col("l_partkey"))
+    # global top-N via orderBy+limit (TakeOrderedAndProject: per-partition
+    # top-N, driver merges N rows per partition) — an unpartitioned
+    # row_number() window would shuffle every part's count into ONE
+    # partition, the classic single-reducer bottleneck at 1e9 parts.
+    # Tie-break on l_partkey keeps the row set identical to the oracle's
+    # row_number() formulation.
     trending = (
-        trend_counts.withColumn("r", F.row_number().over(wt))
-        .where(F.col("r") <= TREND_TOP)
+        trend_counts.orderBy(F.col("n").desc(), F.col("l_partkey"))
+        .limit(TREND_TOP)
         .select(F.col("l_partkey").alias("rec"), F.col("n").alias("score"))
     )
     actives = recent.select(F.col("o_custkey").alias("cust")).distinct()

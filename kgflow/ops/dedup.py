@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kgflow.caching import track_persist
+
 SHINGLE_N = 3
 NUM_HASHES = 32
 BANDS = 16  # 2 rows per band -> catches jaccard >= ~0.5
@@ -161,9 +163,12 @@ def minhash_lsh_pairs(
         not signatures, not shingle sets; similarity is then verified
         from the minhash *signatures* (agreement / NUM_HASHES is an
         unbiased Jaccard estimate), joined back once per pair side.
-        In a persisted pipeline the signature table is computed once;
-        expressed as one query the plan recomputes it per reference,
-        a CPU-for-shuffle trade that wins at corpus scale.
+        The signature table is referenced three times in the final
+        plan (banding + both verify sides), so it is persisted
+        (MEMORY_AND_DISK via kgflow.caching.track_persist — callers
+        release with release_caches()): ~300 B/doc, i.e. ~300 GB at
+        10^9 docs spread over the cluster, vs re-running the shingle +
+        32-hash transform — the dominant CPU — three times.
 
     hash_family picks the seeded hash: ``xxhash64`` (JVM-native longs,
     the 100 TB fast path) or ``md5`` (hex strings, lexicographic min —
@@ -195,11 +200,15 @@ def minhash_lsh_pairs(
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
 
-    sig = sh.select(
-        "doc_id",
-        F.array(
-            *[F.array_min(F.transform("sh", hash_j(j))) for j in range(NUM_HASHES)]
-        ).alias("sig"),
+    # referenced three times below (banding + both verify sides) — see
+    # docstring for the persist-vs-recompute sizing at 10^9 docs
+    sig = track_persist(
+        sh.select(
+            "doc_id",
+            F.array(
+                *[F.array_min(F.transform("sh", hash_j(j))) for j in range(NUM_HASHES)]
+            ).alias("sig"),
+        )
     )
     rows = NUM_HASHES // BANDS
     # the banding/bucketing machinery rides NARROW (doc_id, band, key)
@@ -303,7 +312,12 @@ def _simhash_fingers(docs: DataFrame, hash_family: str) -> DataFrame:
 def _simhash_banded_pairs(fingers: DataFrame, max_hamming: int) -> DataFrame:
     """Band on the 4 x 16-bit blocks (any pair within Hamming distance 3
     shares at least one block — the pigeonhole blocking of Manku et al.,
-    WWW'07), verify by exact popcount of the per-block XORs."""
+    WWW'07), verify by exact popcount of the per-block XORs.
+
+    ``fingers`` feeds both sides of the self-join, so it is persisted
+    (32 B/doc) — the alternative re-runs the explode + 64-vote-sum
+    aggregation, the dominant CPU of the whole operator, twice."""
+    fingers = track_persist(fingers)
     banded = fingers.select(
         "doc_id",
         "f0",

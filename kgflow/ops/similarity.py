@@ -586,3 +586,123 @@ def embedding_near_duplicates(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def embedding_near_duplicates_lsh(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    planes: int = HYPERPLANES,
+    bucket_cap: "int | None" = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked on the LSH bucket — the
+    actual 100 TB scale path embedding_near_duplicates' docstring
+    promises (no semantic label exists on a raw crawl; the block key
+    must come from the vectors themselves).
+
+    Candidate generation is multiprobe (Lv et al., VLDB'07): a pair
+    qualifies when its two buckets are within Hamming distance 1, i.e.
+    side a probes {bucket} union {bucket ^ (1<<p)}. Exactly one probe
+    mask matches a given pair, so each (a, b) candidate appears once —
+    no dedup shuffle. Identical vectors always share a bucket, so
+    planted clones (cos = 1.0) are found with probability 1.
+
+    Shuffle shape, sized for 10^9 x dim-64 vectors: the bucket join
+    moves only (vec_id, bucket) pairs — (1 + planes) x 16 B per corpus
+    row, ~0.4 TB at 10^9 rows — NOT the 512 B vectors, which would be
+    13x bigger through the explode. Vectors are re-joined afterwards
+    for the surviving candidate pairs only (near-dup candidates are a
+    vanishing fraction of the corpus at threshold 0.95). ``bucket_cap``
+    is the same degenerate-bucket backstop lsh_topk carries.
+    """
+    vecs = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    )
+    bucketed = vecs.select(
+        "vec_id", lsh_bucket(F.col("vec"), dim, planes).alias("bucket")
+    )
+    if bucket_cap is not None:
+        wcap = W.partitionBy("bucket").orderBy(F.xxhash64("vec_id"), "vec_id")
+        bucketed = (
+            bucketed.withColumn("_r", F.row_number().over(wcap))
+            .where(F.col("_r") <= bucket_cap)
+            .drop("_r")
+        )
+    probes = bucketed.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+                    for p in range(planes)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        probes.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )
+    va = vecs.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("veca"))
+    vb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vecb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("veca"), F.col("vecb")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def embedding_near_dup_lsh_oracle_sql(
+    dim: int,
+    threshold: float = 0.95,
+    planes: int = HYPERPLANES,
+    source: str = "embeddings",
+) -> str:
+    """DuckDB twin of embedding_near_duplicates_lsh over ``source``
+    (a table/CTE with vec_id + embedding): shares the hashlib-derived
+    hyperplane constants, so both engines block on identical buckets."""
+
+    def arr(p: int) -> str:
+        return "[" + ", ".join(repr(v) for v in _hyperplane(dim, p)) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(vec, {arr(p)}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    probe_list = "[bucket, " + ", ".join(
+        f"xor(bucket, {1 << p})" for p in range(planes)
+    ) + "]"
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM {source}
+),
+bucketed AS (
+  SELECT vec_id, vec, CAST({bucket} AS BIGINT) AS bucket FROM v
+),
+probes AS (
+  SELECT vec_id, unnest({probe_list}) AS bucket FROM bucketed
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM probes a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos FROM (
+  SELECT c.vec_a, c.vec_b,
+         round(list_cosine_similarity(va.vec, vb.vec), 6) AS cos
+  FROM cand c
+  JOIN v va ON va.vec_id = c.vec_a
+  JOIN v vb ON vb.vec_id = c.vec_b
+) WHERE cos >= {threshold}
+"""

@@ -112,6 +112,41 @@ def test_lsh_topk_recall_on_tight_clusters(spark, vectors):
     assert (2, 3) in found
 
 
+def test_embedding_near_dup_lsh_finds_planted_pairs(spark):
+    """The LSH-bucketed near-dup scale path must (a) find every planted
+    identical pair — same vector => same bucket with probability 1 —
+    (b) emit each candidate pair at most once (the Hamming-<=1
+    multiprobe uniqueness argument), and (c) agree with the
+    label-blocked baseline on the planted pairs it also finds."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planted = similarity.plant_near_duplicate_vectors(emb)
+    dim = len(emb.select("embedding").first()[0])
+
+    lsh = similarity.embedding_near_duplicates_lsh(
+        planted, dim=dim, threshold=0.95, bucket_cap=similarity.DEFAULT_BUCKET_CAP
+    )
+    rows = lsh.collect()
+    pairs = [(r.vec_a, r.vec_b) for r in rows]
+    assert len(pairs) == len(set(pairs)), "multiprobe emitted a duplicate pair"
+
+    n_planted = planted.where(F.col("vec_id") >= 1_000_000).count()
+    planted_pairs = {
+        (r.vec_a, r.vec_b) for r in rows if r.vec_b == r.vec_a + 1_000_000
+    }
+    assert len(planted_pairs) == n_planted, (
+        f"LSH path found {len(planted_pairs)}/{n_planted} planted clones"
+    )
+    for r in rows:
+        if (r.vec_a, r.vec_b) in planted_pairs:
+            assert r.cos == 1.0
+
+    blocked = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.embedding_near_duplicates(planted, 0.95).collect()
+    }
+    assert planted_pairs <= blocked
+
+
 def test_quality_scores_ranges(spark, docs):
     rows = text.quality_scores(docs).collect()
     for r in rows:

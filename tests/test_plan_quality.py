@@ -69,6 +69,32 @@ def test_extraction_is_single_narrow_stage(spark):
     assert "Exchange" not in plan
 
 
+def test_trending_topn_is_distributed(spark):
+    """combined_recommendations' global trending top-N must compile to
+    TakeOrderedAndProject (per-partition top-N + driver merge of
+    N rows/partition), not an unpartitioned row_number() window that
+    funnels every part's count through ONE reducer."""
+    plan = plan_of(QUERIES["combined_recommendations"](spark, SF_DIR), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_single_partition_windows(spark, name):
+    """No registry query may run a window function over an unpartitioned
+    window — the plan signature is a Window node fed (through its Sort)
+    by Exchange SinglePartition, i.e. the whole input serialized through
+    one task. Global top-N belongs to orderBy+limit, global aggregates
+    to a two-phase HashAggregate; neither plans a Window."""
+    lines = plan_of(QUERIES[name](spark, SF_DIR), mode="simple").splitlines()
+    for i, line in enumerate(lines):
+        if "Window" not in line:
+            continue
+        below = "\n".join(lines[i + 1 : i + 4])
+        assert "Exchange SinglePartition" not in below, (
+            f"{name} plans a single-partition window:\n" + "\n".join(lines[i : i + 4])
+        )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_cartesian_products(spark, name):
     plan = plan_of(QUERIES[name](spark, SF_DIR), mode="simple")

@@ -33,12 +33,18 @@ def _cpu_ticks() -> "list[int] | None":
 
 
 def _own_cpu_seconds() -> "float | None":
-    """CPU seconds consumed by THIS process tree: utime+stime of self
-    and every visible descendant (live children, e.g. the Spark JVM)
-    plus getrusage(RUSAGE_CHILDREN) (children already reaped — the
-    fresh-subprocess pipeline iterations exit inside the timed window,
-    so their ticks leave /proc and reappear in the rusage counter; the
-    snapshot-delta of tree+rusage stays exact across that handoff).
+    """CPU seconds consumed by THIS process tree: utime+stime+cutime+
+    cstime of self and every visible descendant. The cutime/cstime
+    terms make the snapshot-delta exact across reaps: when a process
+    reaps a child mid-window (the fresh-subprocess pipeline iterations
+    exit inside the timed window), the dead child's utime+stime+cutime+
+    cstime leave /proc and roll into its parent's cutime/cstime, so the
+    tree total is invariant to the handoff. NOTE: do NOT also add
+    getrusage(RUSAGE_CHILDREN) — that is the same counter as self's
+    cutime/cstime, and adding both double-counts every reaped child
+    (measured: a reaped 3.2 CPU-s child showed as 6.3 s own), which
+    deflates other_busy_pct and lets contaminated subprocess windows
+    publish as clean.
 
     Co-tenant containers share this kernel, so their CPU shows in
     /proc/stat's totals but their pids are invisible in our namespace —
@@ -46,7 +52,6 @@ def _own_cpu_seconds() -> "float | None":
     measure of co-tenant CPU, which the steal counter cannot see
     (round-4 verdict item 2: 2-3x swings at near-zero steal)."""
     import os
-    import resource
 
     try:
         hz = os.sysconf("SC_CLK_TCK")
@@ -78,8 +83,7 @@ def _own_cpu_seconds() -> "float | None":
             pid = stack.pop()
             total_ticks += ticks_of.get(pid, 0)
             stack.extend(kids.get(pid, ()))
-        ru = resource.getrusage(resource.RUSAGE_CHILDREN)
-        return total_ticks / hz + ru.ru_utime + ru.ru_stime
+        return total_ticks / hz
     except (OSError, ValueError):
         return None
 

@@ -108,3 +108,32 @@ def test_own_cpu_seconds_sees_own_burn():
     b = _own_cpu_seconds()
     assert a is not None and b is not None
     assert b - a >= 0.15
+
+
+def test_own_cpu_counts_reaped_child_exactly_once():
+    """A child that burns CPU and is reaped INSIDE the window must be
+    counted once — not zero times (its ticks left /proc) and not twice
+    (cutime/cstime and RUSAGE_CHILDREN are the same counter; summing
+    both deflated other_busy_pct on every fresh-subprocess pipeline
+    iteration, letting contaminated windows publish as clean)."""
+    import os
+    import subprocess
+    import sys
+
+    if not os.path.exists('/proc/stat'):
+        return
+    from kgflow.audit import _own_cpu_seconds
+
+    a = _own_cpu_seconds()
+    subprocess.run(
+        [sys.executable, "-c",
+         "import time\nt = time.process_time()\n"
+         "while time.process_time() - t < 0.5: pass"],
+        check=True,
+    )
+    b = _own_cpu_seconds()
+    assert a is not None and b is not None
+    burned = b - a
+    # one child burn (~0.5 s) + this process's small overhead; a
+    # double-count would read >= ~1.0
+    assert 0.4 <= burned <= 0.85, f"reaped-child CPU miscounted: {burned:.2f}s"

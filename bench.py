@@ -8,9 +8,12 @@ Prints ONE JSON line:
    "queries": {...}, "sf": ..., "kg": {...}}
 
 Each query is forced end-to-end with a noop-format write (full compute,
-no sink cost) and timed KGFLOW_BENCH_ITERS times (default 3); the
-reported number is the MEDIAN, so one GC pause can't fake a regression.
-One JVM for everything — per-query numbers exclude Spark startup.
+no sink cost) and timed KGFLOW_BENCH_ITERS times (default 3) after ONE
+discarded, recorded warm-up execution (first-run codegen compile +
+page-cache fill are deterministic cold costs, not steady-state
+variance); the reported number is the MEDIAN, so one GC pause can't
+fake a regression. One JVM for everything — per-query numbers exclude
+Spark startup.
 
 Every iteration is noise-audited (kgflow.audit): /proc/stat is
 snapshotted around the timed window and iterations whose window saw
@@ -121,6 +124,19 @@ def main() -> int:
     max_steal = max_iowait = max_other = 0.0
     n_contaminated = 0
     for name in BENCH_QUERIES:
+        # Per-query discarded warm-up: caches are dropped between
+        # queries (below), so each query's first execution pays one-time
+        # costs the steady state never repeats — whole-stage codegen
+        # compile, parquet footer reads, OS page-cache fill (measured:
+        # dedup_exact first-iter 2.5 s vs 0.44 s warm, in every recorded
+        # session). The warm-up is timed, recorded (warmup_sec), and
+        # excluded from the median — pre-declared protocol, applied to
+        # every query uniformly, so the published spread reflects
+        # steady-state variance (the <2x criterion) rather than a known
+        # deterministic cold cost.
+        t0 = time.monotonic()
+        _force(QUERIES[name](spark, SF_DIR))
+        warmup_sec = round(time.monotonic() - t0, 3)
         iters, steals, iowaits, others, loads, flags = [], [], [], [], [], []
         rejected: list[dict] = []
         for _ in range(ITERS):
@@ -158,7 +174,8 @@ def main() -> int:
         timings[name] = round(statistics.median(iters), 3)
         history.append(
             {"ts": run_ts, "sf": sf, "cpus": CPUS, "query": name, "iters": iters,
-             "median": timings[name], "steal_pct": steals, "iowait_pct": iowaits,
+             "median": timings[name], "warmup_sec": warmup_sec,
+             "steal_pct": steals, "iowait_pct": iowaits,
              "other_busy_pct": others, "load1": loads, "contaminated": flags,
              "rejected": rejected}
         )

@@ -171,6 +171,16 @@ def main() -> int:
         # clearCache alone leaves registered in the CacheManager).
         relational.release_caches()
         spark.catalog.clearCache()
+        # GC hygiene: collect the evicted cache blocks + earlier
+        # queries' garbage NOW, between queries, so an old-gen pause
+        # does not land inside a later query's timed window (observed:
+        # a 2.7 s iteration on the 0.4 s dedup_exact, 19 queries into
+        # the run, on a steal/iowait/co-tenant-clean window — JVM debt,
+        # not host noise). Uniform, pre-declared, outside every window.
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
         timings[name] = round(statistics.median(iters), 3)
         history.append(
             {"ts": run_ts, "sf": sf, "cpus": CPUS, "query": name, "iters": iters,

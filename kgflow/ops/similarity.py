@@ -127,6 +127,65 @@ def lsh_bucket(col, dim: int, planes: int = HYPERPLANES) -> F.Column:
     return out
 
 
+def lsh_assignments(
+    embeddings: DataFrame,
+    dim: int,
+    planes: int = HYPERPLANES,
+    bucket_cap: "int | None" = None,
+) -> DataFrame:
+    """The at-rest LSH index table: (vec_id, vec, bucket) — the LSH
+    twin of ivf_assignments. At 10^9+ vectors this is precomputed once
+    per corpus version (write_lsh_index stores it partitioned BY
+    bucket) so a probe reads only its 1+planes partitions;
+    ``bucket_cap`` is the one-time deterministic row_number pass
+    bounding every bucket."""
+    corpus = embeddings.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("vec"),
+    ).withColumn("bucket", lsh_bucket(F.col("vec"), dim, planes))
+    if bucket_cap is not None:
+        # vec_id tie-break: xxhash64 alone leaves which row survives a
+        # hash collision nondeterministic across runs (round-4 advice)
+        wcap = W.partitionBy("bucket").orderBy(F.xxhash64("vec_id"), "vec_id")
+        corpus = (
+            corpus.withColumn("_r", F.row_number().over(wcap))
+            .where(F.col("_r") <= bucket_cap)
+            .drop("_r")
+        )
+    return corpus
+
+
+def _lsh_probes(
+    queries: DataFrame, dim: int, planes: int, multiprobe: bool
+) -> DataFrame:
+    """Query side with probe bucket(s): (query_id, qvec, bucket), one
+    row per probe — the query's own bucket plus every Hamming-1
+    neighbor when multiprobe (Lv et al., VLDB'07)."""
+    q = queries.select(
+        "query_id", _as_double(F.col("query_vec")).alias("qvec")
+    ).withColumn("bucket", lsh_bucket(F.col("qvec"), dim, planes))
+    if multiprobe:
+        probe_arr = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+                for p in range(planes)
+            ],
+        )
+        q = q.select("query_id", "qvec", F.explode(probe_arr).alias("bucket"))
+    return q
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared final ranking: top-k per query, (cos desc, vec_id) order."""
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -155,31 +214,8 @@ def lsh_topk(
         bucket (10^7 identical spam vectors) costs O(cap), not
         O(corpus). At rest this cap is one row_number pass over the
         bucketed table, precomputed once per corpus version."""
-    corpus = embeddings.select(
-        "vec_id",
-        _as_double(F.col("embedding")).alias("vec"),
-    ).withColumn("bucket", lsh_bucket(F.col("vec"), dim, planes))
-    if bucket_cap is not None:
-        # vec_id tie-break: xxhash64 alone leaves which row survives a
-        # hash collision nondeterministic across runs (round-4 advice)
-        wcap = W.partitionBy("bucket").orderBy(F.xxhash64("vec_id"), "vec_id")
-        corpus = (
-            corpus.withColumn("_r", F.row_number().over(wcap))
-            .where(F.col("_r") <= bucket_cap)
-            .drop("_r")
-        )
-    q = queries.select(
-        "query_id", _as_double(F.col("query_vec")).alias("qvec")
-    ).withColumn("bucket", lsh_bucket(F.col("qvec"), dim, planes))
-    if multiprobe:
-        probe_arr = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
-                for p in range(planes)
-            ],
-        )
-        q = q.select("query_id", "qvec", F.explode(probe_arr).alias("bucket"))
+    corpus = lsh_assignments(embeddings, dim, planes, bucket_cap)
+    q = _lsh_probes(queries, dim, planes, multiprobe)
     scored = (
         corpus.join(F.broadcast(q), "bucket")
         .where(F.col("vec_id") != F.col("query_id"))
@@ -189,12 +225,7 @@ def lsh_topk(
             F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cos", "rank")
-    )
+    return _topk(scored, k)
 
 
 N_CENTROIDS = 16
@@ -345,14 +376,35 @@ def ivf_topk(
     corpus = ivf_assignments(
         embeddings, dim, n_centroids, cluster_cap=cluster_cap, centroids=cent_vals
     )
+    q = _ivf_probes(queries, cent_vals, nprobe)
+    scored = (
+        corpus.join(F.broadcast(q), "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos"),
+        )
+    )
+    return _topk(scored, k)
+
+
+def _ivf_probes(
+    queries: DataFrame, cent_vals: "list[list[float]]", nprobe: int
+) -> DataFrame:
+    """Query side with probe clusters: (query_id, qvec, cluster), one
+    row per probed inverted list — the nprobe nearest coarse centroids
+    in (sim desc, cluster asc) order, the same order the oracle's
+    ROW_NUMBER produces. Zero-norm queries are excluded (matches the
+    index-side guard)."""
+    n_centroids = len(cent_vals)
     qpre = (
         queries.select("query_id", _as_double(F.col("query_vec")).alias("qvec"))
         .withColumn("nq", _norm(F.col("qvec")))
         .where(F.col("nq") > 0)
     )
     qsims = _sims_to_centroids(F.col("qvec"), cent_vals, norm_col=F.col("nq"))
-    # sort (neg sim, cluster) structs: sim desc, cluster asc on ties —
-    # the same order the oracle's ROW_NUMBER produces
+    # sort (neg sim, cluster) structs: sim desc, cluster asc on ties
     ranked = F.array_sort(
         F.array(
             *[
@@ -363,27 +415,12 @@ def ivf_topk(
             ]
         )
     )
-    q = qpre.select(
+    return qpre.select(
         "query_id",
         "qvec",
         F.explode(
             F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cluster"])
         ).alias("cluster"),
-    )
-    scored = (
-        corpus.join(F.broadcast(q), "cluster")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cos", "rank")
     )
 
 
@@ -445,6 +482,116 @@ def train_centroids(
         [(c, cents[c]) for c in range(n_centroids)],
         "cluster int, centroid array<double>",
     )
+
+
+# --------------------------------------------------------------------------
+# At-rest index persistence (SCALE.md "ANN index families at rest")
+# --------------------------------------------------------------------------
+
+def write_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    planes: int = HYPERPLANES,
+    bucket_cap: "int | None" = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the LSH index partitioned BY bucket — the stored
+    form SCALE.md's at-rest layout describes, executed. Build once per
+    corpus version; a probe then reads only its 1+planes partitions
+    (lsh_topk_from_index). ``mode="append"`` is the incremental path:
+    compute assignments for the NEW rows only and append — signatures
+    are deterministic per-row expressions, so existing partitions are
+    never re-indexed. (bucket_cap is a per-build pass: re-apply it on
+    the rewritten corpus version, not on appends.)"""
+    lsh_assignments(embeddings, dim, planes, bucket_cap).write.partitionBy(
+        "bucket"
+    ).mode(mode).parquet(path)
+
+
+def lsh_topk_from_index(
+    index: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    multiprobe: bool = True,
+    planes: int = HYPERPLANES,
+) -> DataFrame:
+    """lsh_topk over a STORED index (read back from write_lsh_index)
+    instead of recomputing assignments: the bounded probe-key set
+    (<= n_queries x (1+planes) longs — ANN query batches are small by
+    construction, they broadcast in every path here) is collected and
+    applied as a static IN filter on the partition column, so the scan
+    prunes to the probed partitions at file-listing time
+    (PartitionFilters in the plan) — probes/2^planes of the corpus
+    read, exactly the SCALE.md claim. Results are identical to
+    lsh_topk(same params) by construction (pytest-pinned)."""
+    q = _lsh_probes(queries, dim, planes, multiprobe)
+    probe_keys = [r[0] for r in q.select("bucket").distinct().collect()]
+    pruned = index.withColumn("bucket", F.col("bucket").cast("long")).where(
+        F.col("bucket").isin(probe_keys)
+    )
+    scored = (
+        pruned.join(F.broadcast(q), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos"),
+        )
+    )
+    return _topk(scored, k)
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    n_centroids: int = N_CENTROIDS,
+    cluster_cap: "int | None" = None,
+    centroids: "list[list[float]] | DataFrame | None" = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF-flat index partitioned BY cluster (inverted
+    lists as partitions). Same incremental-append contract as
+    write_lsh_index — assignment is a deterministic expression of the
+    embedding given fixed centroids, so appends index only new rows.
+    Pass the SAME centroids (trained table or hash-seeded default) at
+    build and probe time; a centroid change is a new corpus version."""
+    ivf_assignments(
+        embeddings, dim, n_centroids, cluster_cap=cluster_cap, centroids=centroids
+    ).write.partitionBy("cluster").mode(mode).parquet(path)
+
+
+def ivf_topk_from_index(
+    index: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    nprobe: int = N_PROBE,
+    centroids: "list[list[float]] | DataFrame | None" = None,
+) -> DataFrame:
+    """ivf_topk over a STORED index (read back from write_ivf_index):
+    the bounded probe set (<= n_queries x nprobe ints) becomes a static
+    IN filter on the cluster partition column — the scan reads only the
+    probed inverted lists (nprobe/n_centroids of the corpus)."""
+    cent_vals = _resolve_centroids(dim, n_centroids, centroids)
+    q = _ivf_probes(queries, cent_vals, nprobe)
+    probe_keys = [r[0] for r in q.select("cluster").distinct().collect()]
+    pruned = index.withColumn("cluster", F.col("cluster").cast("int")).where(
+        F.col("cluster").isin(probe_keys)
+    )
+    scored = (
+        pruned.join(F.broadcast(q), "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos"),
+        )
+    )
+    return _topk(scored, k)
 
 
 def ivf_topk_oracle_sql(

@@ -547,3 +547,82 @@ def test_md5_twins_match_xxhash_shape(spark, docs):
     sim_md = {(r.doc_a, r.doc_b) for r in dedup.simhash_pairs_md5(docs, 3).collect()}
     assert (0, 1) in sim_md
     assert (0, 2) in sim_md  # bag dup: same token set -> same simhash
+
+
+# --------------------------------------------------------------------------
+# At-rest ANN index persistence (SCALE.md "ANN index families at rest")
+# --------------------------------------------------------------------------
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def _partition_filter_of(plan: str) -> str:
+    assert "PartitionFilters: [" in plan, plan
+    return plan.split("PartitionFilters: [")[1].split("]")[0]
+
+
+def test_lsh_index_roundtrip_prunes_partitions(spark, tmp_path):
+    """write_lsh_index -> lsh_topk_from_index must (a) return exactly
+    lsh_topk's results over the same corpus and (b) prune the stored
+    index scan to the probed bucket partitions — the static IN filter
+    must appear as a PartitionFilter, not a post-scan Filter, which is
+    what makes the at-rest layout read probes/2^planes of the corpus."""
+    vectors = _pseudo_vectors(spark)
+    queries = vectors.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = str(tmp_path / "lsh_index")
+    similarity.write_lsh_index(vectors, path, dim=16)
+    index = spark.read.parquet(path)
+    got = similarity.lsh_topk_from_index(index, queries, dim=16, k=5)
+    want = similarity.lsh_topk(vectors, queries, dim=16, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert "bucket" in _partition_filter_of(_plan(got))
+
+
+def test_ivf_index_roundtrip_append_and_pruning(spark, tmp_path):
+    """IVF at-rest index: build on part of the corpus, APPEND the rest
+    (the incremental path — assignment is a deterministic expression of
+    the embedding, so only new rows are indexed), then probe the stored
+    table. Results must equal the in-memory ivf_topk over the full
+    corpus, and the probe must prune to the nprobe cluster partitions."""
+    vectors = _pseudo_vectors(spark)
+    queries = vectors.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = str(tmp_path / "ivf_index")
+    similarity.write_ivf_index(vectors.where(F.col("vec_id") < 100), path, dim=16)
+    similarity.write_ivf_index(
+        vectors.where(F.col("vec_id") >= 100), path, dim=16, mode="append"
+    )
+    index = spark.read.parquet(path)
+    got = similarity.ivf_topk_from_index(index, queries, dim=16, k=5)
+    want = similarity.ivf_topk(vectors, queries, dim=16, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert "cluster" in _partition_filter_of(_plan(got))
+
+
+def test_ivf_index_with_trained_centroids(spark, tmp_path):
+    """The stored-index path accepts the trained coarse quantizer too:
+    build and probe with the SAME trained centroid table (the contract
+    write_ivf_index documents) and match the in-memory trained path."""
+    vectors = _pseudo_vectors(spark)
+    queries = vectors.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    trained = similarity.train_centroids(vectors, dim=16, n_iters=2)
+    path = str(tmp_path / "ivf_trained")
+    similarity.write_ivf_index(vectors, path, dim=16, centroids=trained)
+    index = spark.read.parquet(path)
+    got = similarity.ivf_topk_from_index(
+        index, queries, dim=16, k=5, centroids=trained
+    )
+    want = similarity.ivf_topk(vectors, queries, dim=16, k=5, centroids=trained)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -138,6 +138,7 @@ def main() -> int:
         _force(QUERIES[name](spark, SF_DIR))
         warmup_sec = round(time.monotonic() - t0, 3)
         iters, steals, iowaits, others, loads, flags = [], [], [], [], [], []
+        owns: list[float] = []
         rejected: list[dict] = []
         for _ in range(ITERS):
             # re-attempt contaminated windows; keep the LAST attempt
@@ -151,13 +152,15 @@ def main() -> int:
                 rejected.append(
                     {"sec": round(elapsed, 3), "steal_pct": window.steal_pct,
                      "iowait_pct": window.iowait_pct,
-                     "other_busy_pct": window.other_busy_pct}
+                     "other_busy_pct": window.other_busy_pct,
+                     "own_cpu_s": window.own_cpu_s}
                 )
             iters.append(round(elapsed, 3))
             steals.append(window.steal_pct)
             iowaits.append(window.iowait_pct)
             others.append(window.other_busy_pct)
             loads.append(window.load1)
+            owns.append(window.own_cpu_s)
             flags.append(window.contaminated())
             max_steal = max(max_steal, window.steal_pct)
             max_iowait = max(max_iowait, window.iowait_pct)
@@ -186,8 +189,8 @@ def main() -> int:
             {"ts": run_ts, "sf": sf, "cpus": CPUS, "query": name, "iters": iters,
              "median": timings[name], "warmup_sec": warmup_sec,
              "steal_pct": steals, "iowait_pct": iowaits,
-             "other_busy_pct": others, "load1": loads, "contaminated": flags,
-             "rejected": rejected}
+             "other_busy_pct": others, "load1": loads, "own_cpu_s": owns,
+             "contaminated": flags, "rejected": rejected}
         )
 
     # KG pipeline throughput (the BASELINE.json headline metric).
@@ -208,6 +211,7 @@ def main() -> int:
     kg_iters, kg_steals, kg_iowaits, kg_others, kg_loads, kg_flags = (
         [], [], [], [], [], []
     )
+    kg_owns: list[float] = []
     kg_rejected: list[dict] = []
     kg_triples = 0
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -238,13 +242,15 @@ def main() -> int:
                 kg_rejected.append(
                     {"sec": summary["elapsed_sec"], "steal_pct": window.steal_pct,
                      "iowait_pct": window.iowait_pct,
-                     "other_busy_pct": window.other_busy_pct}
+                     "other_busy_pct": window.other_busy_pct,
+                     "own_cpu_s": window.own_cpu_s}
                 )
             kg_iters.append(summary["elapsed_sec"])
             kg_steals.append(window.steal_pct)
             kg_iowaits.append(window.iowait_pct)
             kg_others.append(window.other_busy_pct)
             kg_loads.append(window.load1)
+            kg_owns.append(window.own_cpu_s)
             kg_flags.append(window.contaminated())
             kg_triples = summary["triples"]
             max_steal = max(max_steal, window.steal_pct)
@@ -260,7 +266,8 @@ def main() -> int:
          "iters": kg_iters, "median": timings["kg_pipeline"],
          "steal_pct": kg_steals, "iowait_pct": kg_iowaits,
          "other_busy_pct": kg_others, "load1": kg_loads,
-         "contaminated": kg_flags, "rejected": kg_rejected,
+         "own_cpu_s": kg_owns, "contaminated": kg_flags,
+         "rejected": kg_rejected,
          "n_files": KG_FILES, "triples": kg_triples}
     )
 

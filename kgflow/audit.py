@@ -105,6 +105,13 @@ class CpuWindow:
     iowait_pct: float = 0.0
     other_busy_pct: float = 0.0
     load1: float = 0.0
+    # CPU-seconds burned by THIS process tree inside the window. Wall
+    # time varies 2-3x with host contention, but the work a fixed job
+    # does is constant — so same own_cpu_s at double the wall-clock
+    # PROVES host slowness (frequency/memory-bus) from the record
+    # alone, while higher own_cpu_s means the run itself did more work.
+    # Diagnostic only; never gates.
+    own_cpu_s: float = 0.0
     available: bool = False
 
     def contaminated(
@@ -162,16 +169,19 @@ class CpuAudit:
         # clamped at 0 (tick/rusage granularity can put ours slightly
         # above host busy on near-idle windows)
         other_pct = 0.0
+        own_s = 0.0
         if own_after is not None and self._own_before is not None:
             hz = os.sysconf("SC_CLK_TCK")
             busy = total - delta[3] - delta[_IDX_IOWAIT]  # minus idle, iowait
-            own_ticks = (own_after - self._own_before) * hz
+            own_s = max(0.0, own_after - self._own_before)
+            own_ticks = own_s * hz
             other_pct = round(max(0.0, 100.0 * (busy - own_ticks) / total), 3)
         return CpuWindow(
             steal_pct=round(100.0 * delta[_IDX_STEAL] / total, 3),
             iowait_pct=round(100.0 * delta[_IDX_IOWAIT] / total, 3),
             other_busy_pct=other_pct,
             load1=load1,
+            own_cpu_s=round(own_s, 2),
             available=True,
         )
 

@@ -89,6 +89,10 @@ def test_other_busy_pct_from_synthetic_ticks():
     assert w.available
     assert w.other_busy_pct == 20.0
     assert w.contaminated()  # 20% co-tenant CPU > 10% limit
+    # the window publishes the tree's own CPU-seconds (the
+    # noise-invariant half of the record: constant work at varying
+    # wall-clock proves host slowness rather than a code regression)
+    assert w.own_cpu_s == round(200.0 / hz, 2)
 
 
 def test_own_cpu_seconds_sees_own_burn():

@@ -84,6 +84,7 @@ def run_once(label: str, master: str, corpus: str, max_retries: int = 2) -> dict
             payload["steal_pct"] = window.steal_pct
             payload["iowait_pct"] = window.iowait_pct
             payload["other_busy_pct"] = window.other_busy_pct
+            payload["own_cpu_s"] = window.own_cpu_s
             if not window.contaminated() or attempt == max_retries:
                 if window.contaminated():
                     print(
@@ -137,6 +138,7 @@ def measure(corpus: str, runs: int, levels: dict[str, str], warmup: bool = True)
     steals: dict[str, list[float]] = {label: [] for label in levels}
     iowaits: dict[str, list[float]] = {label: [] for label in levels}
     others: dict[str, list[float]] = {label: [] for label in levels}
+    owns: dict[str, list[float]] = {label: [] for label in levels}
     triples = None
     for _ in range(runs):
         for label, master in levels.items():
@@ -145,6 +147,7 @@ def measure(corpus: str, runs: int, levels: dict[str, str], warmup: bool = True)
             steals[label].append(r.get("steal_pct", -1.0))
             iowaits[label].append(r.get("iowait_pct", -1.0))
             others[label].append(r.get("other_busy_pct", -1.0))
+            owns[label].append(r.get("own_cpu_s", -1.0))
             triples = r["triples"]
             print(
                 f"# run {label} {r['elapsed_sec']}s steal={r.get('steal_pct')}% "
@@ -160,6 +163,9 @@ def measure(corpus: str, runs: int, levels: dict[str, str], warmup: bool = True)
             "steal_pct": steals[label],
             "iowait_pct": iowaits[label],
             "other_busy_pct": others[label],
+            # own-tree CPU-seconds per run: constant work at varying
+            # wall-clock distinguishes host slowness from a regression
+            "own_cpu_s": owns[label],
             "median_sec": med,
             "triples": triples,
             "triples_per_sec": round(triples / med, 1),

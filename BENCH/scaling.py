@@ -251,7 +251,10 @@ true cluster scaling: all 32 threads contend for one memory bus and one
 shuffle disk, costs a real 4x-executor cluster does not pay.)
 
 Raw run times (sec): N={n['runs']}, 4N={n4['runs']}
-(shared-host variance is large; interleaving keeps the comparison fair).
+Own-tree CPU-seconds per run: N={n['own_cpu_s']}, 4N={n4['own_cpu_s']}
+(constant own-CPU at varying wall-clock distinguishes host slowness
+from a code regression; shared-host variance is large and interleaving
+keeps the comparison fair).
 Every run is noise-audited via /proc/stat around its own window;
 windows with >1% hypervisor steal, >5% iowait, or >10% co-tenant CPU
 (host busy time minus this process tree — the round-5 gate for the

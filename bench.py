@@ -8,26 +8,45 @@ Prints ONE JSON line:
    "queries": {...}, "sf": ..., "kg": {...}}
 
 Each query is forced end-to-end with a noop-format write (full compute,
-no sink cost) and timed KGFLOW_BENCH_ITERS times (default 3) after ONE
-discarded, recorded warm-up execution (first-run codegen compile +
-page-cache fill are deterministic cold costs, not steady-state
-variance); the reported number is the MEDIAN, so one GC pause can't
-fake a regression. One JVM for everything — per-query numbers exclude
-Spark startup.
+no sink cost) and measured until KGFLOW_BENCH_ITERS (default 3) CLEAN
+iterations exist, after ONE discarded, recorded warm-up execution
+(first-run codegen compile + page-cache fill are deterministic cold
+costs, not steady-state variance); the reported number is the MEDIAN of
+the clean iterations only.
 
-Every iteration is noise-audited (kgflow.audit): /proc/stat is
-snapshotted around the timed window and iterations whose window saw
->1% hypervisor steal, >5% iowait, or >10% co-tenant CPU
-(other_busy_pct — host busy time minus this process tree, the signal
-that catches the load1 12-16 co-tenant windows round 4 published
-through at near-zero steal) are REJECTED and re-attempted; rejected
-attempts are recorded in history but excluded from the median, so the
-published spread reflects clean windows only and the rejection rule is
-pre-declared, not curated. The kg_pipeline headline is median-of-3
-under the same audit, each iteration a fresh subprocess JVM over one
-shared pre-materialized corpus (scaling.py protocol). The JSON carries
-max observed steal/iowait/other-busy and a per-iteration contaminated
-flag so a still-contaminated publish is self-describing.
+Clean-window protocol (round-5 verdict item 1 — published medians must
+contain zero contaminated iterations): every attempt is noise-audited
+(kgflow.audit — /proc/stat snapshotted around exactly its own window;
+>1% hypervisor steal, >5% iowait, or >10% co-tenant CPU rejects it).
+Contaminated attempts are NEVER part of a median: they are recorded in
+history (attempts list), the harness sleeps briefly and re-attempts,
+and queries still short of clean iterations after the first pass are
+REQUEUED at the end of the suite (up to 2 extra passes, with a fresh
+warm-up, so a sustained co-tenant burst is waited out rather than
+published through). A query that still has <2 clean iterations after
+the full budget is published as UNMEASURED (null in "queries", listed
+under "unmeasured") instead of as a number — the rejection rule is
+pre-declared, not curated. Tracked CTE persists are released after
+EVERY attempt (not just between queries): each attempt registers fresh
+MEMORY_AND_DISK caches, so without the per-attempt release later
+iterations of persist-backed queries ran under growing storage
+pressure (round-5 advice).
+
+The kg_pipeline headline follows the same clean-iteration state
+machine (smaller attempt budget — each attempt is minutes), each
+iteration a fresh subprocess JVM over one shared pre-materialized
+corpus (scaling.py protocol). The JSON carries max steal/iowait/
+other-busy over the PUBLISHED iterations, the total rejected-attempt
+count, and the unmeasured list, so the publish is self-describing.
+
+Two rows exercise the AT-REST ANN index path (round-5 verdict item 5):
+ann_lsh_probe_at_rest / ann_ivf_probe_at_rest time the probe-only cost
+against an index built ONCE, untimed, before the suite — demonstrating
+the claimed probes/2^planes (resp. nprobe/n_centroids) scan, with
+partition pruning pinned by tests/test_ops.py's PartitionFilters plan
+checks. These are bench-only rows (the 50-query oracle registry is
+unchanged; from-index results are pytest-pinned identical to the
+in-memory forms, which ARE oracle-checked).
 
 The kg headline runs at 500k files (round-4 verdict item 3: at 60k the
 ~54 s fixed cost — link/canonicalize driver-side loops, stage
@@ -61,7 +80,16 @@ ITERS = int(os.environ.get("KGFLOW_BENCH_ITERS", "3"))
 # two-point fit on clean windows (see module docstring); scaled to the
 # benched corpus size purely for the vs_fixed_cost ratio readout
 KG_FIXED_COST_EST_SEC = 53.8
-MAX_ATTEMPTS_PER_ITER = 3  # 1 measurement + up to 2 clean-window retries
+# clean-window budgets (round-5 verdict item 1): per measurement pass a
+# query may burn the clean iterations it still needs plus EXTRA_ATTEMPTS
+# contaminated ones; queries still short of ITERS clean timings are
+# requeued (whole suite re-visits them) up to REQUEUE_PASSES times.
+EXTRA_ATTEMPTS = 3
+REQUEUE_PASSES = 2
+RETRY_SLEEP_SEC = 8          # pause after a contaminated attempt
+REQUEUE_SLEEP_SEC = 30       # pause before each requeue pass
+MIN_CLEAN_FOR_PUBLISH = 2    # fewer clean iterations -> row is unmeasured
+KG_EXTRA_ATTEMPTS = 2        # kg attempts cost minutes; smaller budget
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "history.jsonl")
 
 BENCH_QUERIES = [
@@ -93,6 +121,10 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    # probe-only cost against an index built once, untimed (bench-only
+    # rows — see module docstring; not in the 50-query oracle registry)
+    "ann_lsh_probe_at_rest",
+    "ann_ivf_probe_at_rest",
     "langid_predict",
     "text_quality",
     "token_stats_by_lang",
@@ -104,6 +136,46 @@ from kgflow.audit import timed_audited
 
 def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+def _measure_pass(
+    run_once,
+    state: dict,
+    needed: int,
+    extra: int,
+    after_attempt=None,
+    sec_of=None,
+    annotate=None,
+) -> None:
+    """Run attempts until ``needed`` CLEAN timings exist in ``state`` or
+    the pass budget (clean-still-missing + ``extra``) is spent. Every
+    attempt is recorded in state['attempts']; only clean ones land in
+    state['clean']. A contaminated attempt sleeps RETRY_SLEEP_SEC so a
+    brief co-tenant burst can pass before the retry."""
+    budget = (needed - len(state["clean"])) + extra
+    for _ in range(budget):
+        if len(state["clean"]) >= needed:
+            break
+        elapsed, window, result = timed_audited(run_once, max_retries=0)
+        if after_attempt is not None:
+            after_attempt()
+        rec = {
+            "sec": round(sec_of(result) if sec_of else elapsed, 3),
+            "steal_pct": window.steal_pct,
+            "iowait_pct": window.iowait_pct,
+            "other_busy_pct": window.other_busy_pct,
+            "load1": window.load1,
+            "own_cpu_s": window.own_cpu_s,
+            "contaminated": window.contaminated(),
+        }
+        if annotate is not None:
+            rec.update(annotate(result) or {})
+        state["attempts"].append(rec)
+        state["last_result"] = result
+        if rec["contaminated"]:
+            time.sleep(RETRY_SLEEP_SEC)
+        else:
+            state["clean"].append(rec)
 
 
 def main() -> int:
@@ -119,78 +191,144 @@ def main() -> int:
     # warm the JVM + parquet footers once
     _force(QUERIES["pricing_summary"](spark, SF_DIR))
 
-    timings: dict[str, float] = {}
+    # At-rest ANN indexes, built ONCE before the suite (untimed): the
+    # probe rows then measure pure probe cost — the partition-pruned
+    # scan the stored layout exists for (round-5 verdict item 5).
+    from pyspark.sql import functions as F
+
+    from kgflow.analytics.tables import load as _load
+    from kgflow.ops import similarity
+
+    idx_dir = tempfile.mkdtemp(prefix="kgflow_annidx_")
+    emb = _load(spark, SF_DIR, "embeddings")
+    dim = int(emb.select(F.size("embedding")).first()[0])
+    ann_queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    lsh_path = os.path.join(idx_dir, "lsh")
+    ivf_path = os.path.join(idx_dir, "ivf")
+    similarity.write_lsh_index(
+        emb, lsh_path, dim, bucket_cap=similarity.DEFAULT_BUCKET_CAP
+    )
+    similarity.write_ivf_index(
+        emb, ivf_path, dim, cluster_cap=similarity.DEFAULT_CLUSTER_CAP
+    )
+    extra_runners = {
+        "ann_lsh_probe_at_rest": lambda: _force(
+            similarity.lsh_topk_from_index(
+                spark.read.parquet(lsh_path), ann_queries, dim, k=5
+            )
+        ),
+        "ann_ivf_probe_at_rest": lambda: _force(
+            similarity.ivf_topk_from_index(
+                spark.read.parquet(ivf_path), ann_queries, dim, k=5
+            )
+        ),
+    }
+
+    def _runner(n: str):
+        if n in extra_runners:
+            return extra_runners[n]
+        return lambda: _force(QUERIES[n](spark, SF_DIR))
+
+    def _release_attempt_caches() -> None:
+        # each attempt registers FRESH tracked persists (new DataFrame
+        # objects, never reused across attempts) — release them after
+        # every attempt or persist-backed queries run their later
+        # iterations under accumulated storage pressure (round-5 advice)
+        relational.release_caches()
+
+    def _between_queries() -> None:
+        # drop caches BETWEEN queries so no query inherits another's
+        # storage-memory pressure (measured: leftover persists from 28
+        # queries double the kg_pipeline stage times), then collect the
+        # evicted blocks NOW so an old-gen pause does not land inside a
+        # later query's timed window (observed: a 2.7 s iteration on the
+        # 0.4 s dedup_exact, 19 queries into the run, on a clean window
+        # — JVM debt, not host noise). Uniform, pre-declared, outside
+        # every window.
+        relational.release_caches()
+        spark.catalog.clearCache()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
+
+    timings: "dict[str, float | None]" = {}
     history: list[dict] = []
-    max_steal = max_iowait = max_other = 0.0
-    n_contaminated = 0
+    states: dict[str, dict] = {}
+    warmups: dict[str, float] = {}
     for name in BENCH_QUERIES:
         # Per-query discarded warm-up: caches are dropped between
-        # queries (below), so each query's first execution pays one-time
-        # costs the steady state never repeats — whole-stage codegen
-        # compile, parquet footer reads, OS page-cache fill (measured:
+        # queries, so each query's first execution pays one-time costs
+        # the steady state never repeats — whole-stage codegen compile,
+        # parquet footer reads, OS page-cache fill (measured:
         # dedup_exact first-iter 2.5 s vs 0.44 s warm, in every recorded
         # session). The warm-up is timed, recorded (warmup_sec), and
         # excluded from the median — pre-declared protocol, applied to
         # every query uniformly, so the published spread reflects
         # steady-state variance (the <2x criterion) rather than a known
         # deterministic cold cost.
+        run = _runner(name)
         t0 = time.monotonic()
-        _force(QUERIES[name](spark, SF_DIR))
-        warmup_sec = round(time.monotonic() - t0, 3)
-        iters, steals, iowaits, others, loads, flags = [], [], [], [], [], []
-        owns: list[float] = []
-        rejected: list[dict] = []
-        for _ in range(ITERS):
-            # re-attempt contaminated windows; keep the LAST attempt
-            # (flagged) if none comes clean within the budget
-            for attempt in range(MAX_ATTEMPTS_PER_ITER):
-                elapsed, window, _ = timed_audited(
-                    lambda: _force(QUERIES[name](spark, SF_DIR)), max_retries=0
-                )
-                if not window.contaminated() or attempt == MAX_ATTEMPTS_PER_ITER - 1:
-                    break
-                rejected.append(
-                    {"sec": round(elapsed, 3), "steal_pct": window.steal_pct,
-                     "iowait_pct": window.iowait_pct,
-                     "other_busy_pct": window.other_busy_pct,
-                     "own_cpu_s": window.own_cpu_s}
-                )
-            iters.append(round(elapsed, 3))
-            steals.append(window.steal_pct)
-            iowaits.append(window.iowait_pct)
-            others.append(window.other_busy_pct)
-            loads.append(window.load1)
-            owns.append(window.own_cpu_s)
-            flags.append(window.contaminated())
-            max_steal = max(max_steal, window.steal_pct)
-            max_iowait = max(max_iowait, window.iowait_pct)
-            max_other = max(max_other, window.other_busy_pct)
-            n_contaminated += int(window.contaminated())
-        # drop caches BETWEEN queries (iterations of one query may share
-        # them — a disclosed warm-cache median) so no query inherits
-        # another's storage-memory pressure; measured: leftover persists
-        # from 28 queries double the kg_pipeline stage times.
-        # release_caches() unpersists the tracked CTE persists (which
-        # clearCache alone leaves registered in the CacheManager).
-        relational.release_caches()
-        spark.catalog.clearCache()
-        # GC hygiene: collect the evicted cache blocks + earlier
-        # queries' garbage NOW, between queries, so an old-gen pause
-        # does not land inside a later query's timed window (observed:
-        # a 2.7 s iteration on the 0.4 s dedup_exact, 19 queries into
-        # the run, on a steal/iowait/co-tenant-clean window — JVM debt,
-        # not host noise). Uniform, pre-declared, outside every window.
-        try:
-            spark._jvm.System.gc()
-        except Exception:
-            pass
-        timings[name] = round(statistics.median(iters), 3)
+        run()
+        warmups[name] = round(time.monotonic() - t0, 3)
+        _release_attempt_caches()
+        st = {"clean": [], "attempts": []}
+        _measure_pass(run, st, ITERS, EXTRA_ATTEMPTS,
+                      after_attempt=_release_attempt_caches)
+        states[name] = st
+        _between_queries()
+
+    # Requeue passes: queries still short of ITERS clean iterations get
+    # re-visited after the rest of the suite ran (a sustained co-tenant
+    # burst has had minutes to pass), with a fresh untimed warm-up since
+    # their caches were dropped in between.
+    for _ in range(REQUEUE_PASSES):
+        pending = [n for n in BENCH_QUERIES if len(states[n]["clean"]) < ITERS]
+        if not pending:
+            break
+        time.sleep(REQUEUE_SLEEP_SEC)
+        for name in pending:
+            run = _runner(name)
+            run()
+            _release_attempt_caches()
+            _measure_pass(run, states[name], ITERS, EXTRA_ATTEMPTS,
+                          after_attempt=_release_attempt_caches)
+            _between_queries()
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # Publish: median over CLEAN iterations only; <MIN_CLEAN_FOR_PUBLISH
+    # clean iterations -> the row is unmeasured (null), never a number
+    # backed by contaminated windows.
+    unmeasured: list[str] = []
+    max_steal = max_iowait = max_other = 0.0
+    n_contaminated = 0          # contaminated iterations INSIDE published medians
+    rejected_attempts = 0       # contaminated attempts, recorded + excluded
+    for name in BENCH_QUERIES:
+        st = states[name]
+        clean_secs = [r["sec"] for r in st["clean"]]
+        rejected_attempts += sum(1 for a in st["attempts"] if a["contaminated"])
+        if len(clean_secs) >= MIN_CLEAN_FOR_PUBLISH:
+            timings[name] = round(statistics.median(clean_secs), 3)
+            for r in st["clean"]:
+                max_steal = max(max_steal, r["steal_pct"])
+                max_iowait = max(max_iowait, r["iowait_pct"])
+                max_other = max(max_other, r["other_busy_pct"])
+        else:
+            timings[name] = None
+            unmeasured.append(name)
         history.append(
-            {"ts": run_ts, "sf": sf, "cpus": CPUS, "query": name, "iters": iters,
-             "median": timings[name], "warmup_sec": warmup_sec,
-             "steal_pct": steals, "iowait_pct": iowaits,
-             "other_busy_pct": others, "load1": loads, "own_cpu_s": owns,
-             "contaminated": flags, "rejected": rejected}
+            {"ts": run_ts, "sf": sf, "cpus": CPUS, "query": name,
+             "iters": clean_secs, "median": timings[name],
+             "warmup_sec": warmups[name], "clean_count": len(clean_secs),
+             "steal_pct": [r["steal_pct"] for r in st["clean"]],
+             "iowait_pct": [r["iowait_pct"] for r in st["clean"]],
+             "other_busy_pct": [r["other_busy_pct"] for r in st["clean"]],
+             "load1": [r["load1"] for r in st["clean"]],
+             "own_cpu_s": [r["own_cpu_s"] for r in st["clean"]],
+             "contaminated": [False] * len(clean_secs),
+             "attempts": st["attempts"]}
         )
 
     # KG pipeline throughput (the BASELINE.json headline metric).
@@ -205,69 +343,77 @@ def main() -> int:
     # stable 21-27s at 60k files); subprocess isolation is also exactly
     # the BENCH/scaling.py protocol, so the two artifacts compare.
     # run_pipeline.py's elapsed_sec excludes JVM/session startup.
+    import itertools
     import subprocess
 
     kg_dir = tempfile.mkdtemp(prefix="kgflow_bench_")
-    kg_iters, kg_steals, kg_iowaits, kg_others, kg_loads, kg_flags = (
-        [], [], [], [], [], []
-    )
-    kg_owns: list[float] = []
-    kg_rejected: list[dict] = []
-    kg_triples = 0
+    kg_state = {"clean": [], "attempts": []}
     repo = os.path.dirname(os.path.abspath(__file__))
     try:
         corpus_path = os.path.join(kg_dir, "corpus")
         fixtures.source_files(spark, KG_FILES).write.parquet(corpus_path)
+        kg_run_no = itertools.count()
 
-        def one_run(run_dir: str) -> dict:
+        def one_run() -> dict:
+            run_dir = os.path.join(kg_dir, f"run{next(kg_run_no)}")
             proc = subprocess.run(
                 [sys.executable, os.path.join(repo, "run_pipeline.py"),
                  "--input", corpus_path, "--output", run_dir,
                  "--cores", str(CPUS)],
                 capture_output=True, text=True, cwd=repo, timeout=3600,
             )
+            shutil.rmtree(run_dir, ignore_errors=True)
             if proc.returncode != 0:
                 raise RuntimeError(f"pipeline failed:\n{proc.stderr[-2000:]}")
             return json.loads(proc.stdout[proc.stdout.index("{"):])
 
-        for i in range(ITERS):
-            for attempt in range(MAX_ATTEMPTS_PER_ITER):
-                run_dir = os.path.join(kg_dir, f"run{i}a{attempt}")
-                _, window, summary = timed_audited(
-                    lambda: one_run(run_dir), max_retries=0
-                )
-                shutil.rmtree(run_dir, ignore_errors=True)
-                if not window.contaminated() or attempt == MAX_ATTEMPTS_PER_ITER - 1:
-                    break
-                kg_rejected.append(
-                    {"sec": summary["elapsed_sec"], "steal_pct": window.steal_pct,
-                     "iowait_pct": window.iowait_pct,
-                     "other_busy_pct": window.other_busy_pct,
-                     "own_cpu_s": window.own_cpu_s}
-                )
-            kg_iters.append(summary["elapsed_sec"])
-            kg_steals.append(window.steal_pct)
-            kg_iowaits.append(window.iowait_pct)
-            kg_others.append(window.other_busy_pct)
-            kg_loads.append(window.load1)
-            kg_owns.append(window.own_cpu_s)
-            kg_flags.append(window.contaminated())
-            kg_triples = summary["triples"]
-            max_steal = max(max_steal, window.steal_pct)
-            max_iowait = max(max_iowait, window.iowait_pct)
-            max_other = max(max_other, window.other_busy_pct)
-            n_contaminated += int(window.contaminated())
+        # same clean-iteration state machine as the suite (two passes;
+        # each kg attempt costs minutes, so the per-pass extra budget is
+        # smaller). The per-attempt record carries run_pipeline's
+        # per-stage telemetry (sec + own_cpu_s + gc_ms per stage) so an
+        # own-CPU spread across iterations is attributable to a stage
+        # from the bench artifact alone (round-5 verdict item 2).
+        for _ in range(2):
+            if len(kg_state["clean"]) >= ITERS:
+                break
+            _measure_pass(
+                one_run, kg_state, ITERS, KG_EXTRA_ATTEMPTS,
+                sec_of=lambda s: s["elapsed_sec"],
+                annotate=lambda s: {"stages": s.get("stages"),
+                                    "gc_ms": s.get("gc_ms"),
+                                    "own_cpu_s_pipeline": s.get("own_cpu_s")},
+            )
+            if len(kg_state["clean"]) < ITERS:
+                time.sleep(REQUEUE_SLEEP_SEC)
     finally:
         shutil.rmtree(kg_dir, ignore_errors=True)
-    kg_elapsed = statistics.median(kg_iters)
-    timings["kg_pipeline"] = round(kg_elapsed, 3)
+
+    kg_clean = [r["sec"] for r in kg_state["clean"]]
+    rejected_attempts += sum(1 for a in kg_state["attempts"] if a["contaminated"])
+    kg_summary = kg_state.get("last_result") or {}
+    kg_triples = int(kg_summary.get("triples", 0))
+    if len(kg_clean) >= MIN_CLEAN_FOR_PUBLISH:
+        kg_elapsed = statistics.median(kg_clean)
+        timings["kg_pipeline"] = round(kg_elapsed, 3)
+        for r in kg_state["clean"]:
+            max_steal = max(max_steal, r["steal_pct"])
+            max_iowait = max(max_iowait, r["iowait_pct"])
+            max_other = max(max_other, r["other_busy_pct"])
+    else:
+        kg_elapsed = None
+        timings["kg_pipeline"] = None
+        unmeasured.append("kg_pipeline")
     history.append(
         {"ts": run_ts, "sf": sf, "cpus": CPUS, "query": "kg_pipeline",
-         "iters": kg_iters, "median": timings["kg_pipeline"],
-         "steal_pct": kg_steals, "iowait_pct": kg_iowaits,
-         "other_busy_pct": kg_others, "load1": kg_loads,
-         "own_cpu_s": kg_owns, "contaminated": kg_flags,
-         "rejected": kg_rejected,
+         "iters": kg_clean, "median": timings["kg_pipeline"],
+         "clean_count": len(kg_clean),
+         "steal_pct": [r["steal_pct"] for r in kg_state["clean"]],
+         "iowait_pct": [r["iowait_pct"] for r in kg_state["clean"]],
+         "other_busy_pct": [r["other_busy_pct"] for r in kg_state["clean"]],
+         "load1": [r["load1"] for r in kg_state["clean"]],
+         "own_cpu_s": [r["own_cpu_s"] for r in kg_state["clean"]],
+         "contaminated": [False] * len(kg_clean),
+         "attempts": kg_state["attempts"],
          "n_files": KG_FILES, "triples": kg_triples}
     )
 
@@ -279,7 +425,7 @@ def main() -> int:
     except OSError:
         pass  # history is best-effort; the stdout contract is what matters
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for v in timings.values() if v is not None), 3)
     print(
         json.dumps(
             {
@@ -291,18 +437,29 @@ def main() -> int:
                 "max_steal_pct": round(max_steal, 3),
                 "max_iowait_pct": round(max_iowait, 3),
                 "max_other_busy_pct": round(max_other, 3),
+                # contaminated iterations INSIDE published medians —
+                # zero by construction under the clean-window protocol;
+                # rejected attempts are disclosed separately and an
+                # unmeasurable row publishes null, never a dirty number
                 "contaminated_iters": n_contaminated,
+                "rejected_attempts": rejected_attempts,
+                "unmeasured": unmeasured,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "kg": {
                     "n_files": KG_FILES,
                     "triples": kg_triples,
-                    "elapsed_sec": round(kg_elapsed, 2),
-                    "triples_per_sec": round(kg_triples / kg_elapsed, 1),
+                    "elapsed_sec": round(kg_elapsed, 2) if kg_elapsed else None,
+                    "triples_per_sec": (
+                        round(kg_triples / kg_elapsed, 1) if kg_elapsed else None
+                    ),
                     # headline-meaningfulness readout (round-4 verdict
                     # item 3): median vs the measured fixed-cost floor;
                     # >=3.0 means throughput, not startup, is measured
                     "fixed_cost_est_sec": KG_FIXED_COST_EST_SEC,
-                    "vs_fixed_cost": round(kg_elapsed / KG_FIXED_COST_EST_SEC, 2),
+                    "vs_fixed_cost": (
+                        round(kg_elapsed / KG_FIXED_COST_EST_SEC, 2)
+                        if kg_elapsed else None
+                    ),
                 },
             }
         )

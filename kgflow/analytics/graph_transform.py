@@ -98,7 +98,19 @@ def to_edges_multi(
     bytes of pre-formatted :START_ID/:END_ID/:TYPE strings. The dedup
     key (spec_idx, from, to) is exactly equivalent: spec_idx determines
     (from_label, to_label, rel_type), and the prefixed concat is
-    injective given them."""
+    injective given them. That equivalence REQUIRES the (from_label,
+    to_label, rel_type) triples to be pairwise distinct across specs —
+    two specs sharing a triple but using different column pairs would
+    emit rows the formatted-key dedup used to collapse — so the
+    precondition is enforced below rather than documented only
+    (round-5 advice)."""
+    triples = [(fl, tl, rt) for _, fl, _, tl, rt in specs]
+    if len(set(triples)) != len(specs):
+        raise ValueError(
+            "to_edges_multi specs must have distinct (from_label, to_label, "
+            f"rel_type) triples — got duplicates in {triples}; call to_edges "
+            "per spec and unionByName+dropDuplicates instead"
+        )
     pairs = F.array(
         *[
             F.struct(

@@ -17,7 +17,10 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 # /proc/stat cpu line: user nice system idle iowait irq softirq steal ...
+_IDX_IDLE = 3
 _IDX_IOWAIT = 4
+_IDX_IRQ = 5
+_IDX_SOFTIRQ = 6
 _IDX_STEAL = 7
 
 
@@ -85,6 +88,31 @@ def _own_cpu_seconds() -> "float | None":
             stack.extend(kids.get(pid, ()))
         return total_ticks / hz
     except (OSError, ValueError):
+        return None
+
+
+def jvm_gc_ms(spark) -> "int | None":
+    """Cumulative stop-the-world GC time (ms) of the driver JVM via its
+    GarbageCollectorMXBeans. In local[N] mode the driver JVM IS the
+    entire Spark runtime (executors are driver threads), so a delta
+    across a stage is the stage's total GC cost; in local-cluster or
+    real cluster mode executor JVMs are NOT covered — use the Spark
+    metrics system there. Used by the pipeline's per-stage telemetry to
+    attribute own-CPU variance (round-5 verdict item 2: clean-gated
+    iterations burned 2160-4982 CPU-s on identical input — constant
+    useful work, variable GC/memory-stall work)."""
+    try:
+        beans = (
+            spark._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        total = 0
+        for b in beans:
+            t = b.getCollectionTime()
+            if t > 0:
+                total += t
+        return int(total)
+    except Exception:
         return None
 
 
@@ -172,7 +200,22 @@ class CpuAudit:
         own_s = 0.0
         if own_after is not None and self._own_before is not None:
             hz = os.sysconf("SC_CLK_TCK")
-            busy = total - delta[3] - delta[_IDX_IOWAIT]  # minus idle, iowait
+            # process-attributable busy time only: idle/iowait are not
+            # busy; steal is gated by its own threshold (leaving it here
+            # double-counted it as co-tenant CPU); irq/softirq are
+            # kernel interrupt work no process owns — this tree's own
+            # heavy shuffle/disk I/O raises softirq, which would then be
+            # misattributed to 'co-tenants' and spuriously reject
+            # genuinely clean windows near the 10% limit (round-5
+            # advice).
+            busy = (
+                total
+                - delta[_IDX_IDLE]
+                - delta[_IDX_IOWAIT]
+                - delta[_IDX_STEAL]
+                - delta[_IDX_IRQ]
+                - delta[_IDX_SOFTIRQ]
+            )
             own_s = max(0.0, own_after - self._own_before)
             own_ticks = own_s * hz
             other_pct = round(max(0.0, 100.0 * (busy - own_ticks) / total), 3)

@@ -43,6 +43,12 @@ class StageResult:
     row_count: int
     skipped: bool
     elapsed_sec: float = 0.0
+    # per-stage telemetry, filled by the orchestrator (pipeline.stage):
+    # CPU-seconds burned by this process tree and driver-JVM GC ms over
+    # the stage's wall window — the record that attributes an own-CPU
+    # spread across identical runs to a stage (round-5 verdict item 2)
+    own_cpu_s: "float | None" = None
+    gc_ms: "int | None" = None
 
 
 def _manifest_path(stage_dir: str) -> str:

@@ -435,8 +435,16 @@ def train_centroids(
     twin, but production IVF wants DATA-adapted centroids).
 
     Returns a (cluster:int, centroid:array<double>) DataFrame for
-    ivf_topk(..., centroids=...). Deterministic end to end: initialized
-    from the hash-seeded centroids (no RNG state); each Lloyd iteration
+    ivf_topk(..., centroids=...). Deterministic GIVEN A FIXED
+    PARTITIONING: there is no RNG state (initialization is hash-seeded),
+    but each Lloyd update is an F.avg over doubles, whose result depends
+    on partition count and aggregation order — retraining the same data
+    under a different partitioning can yield bit-different centroids.
+    Callers who persist an index (write_ivf_index) must therefore
+    PERSIST THE TRAINED CENTROID TABLE alongside it and reload it at
+    probe time, never re-derive it by retraining (round-5 advice);
+    write_ivf_index's "same centroids at build and probe" contract
+    means the stored table, not the training recipe. Each iteration
     assigns vectors to the max-cosine centroid (the current centroid
     constants fold into the plan — the broadcast path) and updates each
     centroid to its members' coordinate mean. Cosine to a mean is

@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kgflow import audit
 from kgflow import lineage as lin
 from kgflow.stages.canonicalize import canonical_map
 from kgflow.stages.extract import extract, extract_with_manifest
@@ -92,9 +93,22 @@ def run_pipeline(
                 _manifest_rows(run_dir, name), skipped=True,
             )
         else:
+            # per-stage CPU + GC telemetry: own-tree CPU-seconds and
+            # driver-JVM GC ms around exactly this stage's window, so a
+            # run-to-run own-CPU spread on identical input is
+            # attributable to a stage (and to GC vs useful work) from
+            # the run summary alone (round-5 verdict item 2)
+            cpu0 = audit._own_cpu_seconds()
+            gc0 = audit.jvm_gc_ms(spark)
             res = lin.write_stage(
                 build(), name, run_dir, fp, run_ts, schema_mode=schema_mode
             )
+            cpu1 = audit._own_cpu_seconds()
+            gc1 = audit.jvm_gc_ms(spark)
+            if cpu0 is not None and cpu1 is not None:
+                res.own_cpu_s = round(cpu1 - cpu0, 2)
+            if gc0 is not None and gc1 is not None:
+                res.gc_ms = int(gc1 - gc0)
         report.results[name] = res
         return res
 

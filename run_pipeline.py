@@ -131,6 +131,10 @@ def main(argv: list[str] | None = None) -> int:
             source = source.repartition(n_parts)
         corpus_fp = _input_fingerprint(spark, args.input)
 
+    from kgflow import audit
+
+    cpu0 = audit._own_cpu_seconds()
+    gc0 = audit.jvm_gc_ms(spark)
     t0 = time.monotonic()
     report = run_pipeline(
         spark,
@@ -146,13 +150,26 @@ def main(argv: list[str] | None = None) -> int:
         schema_mode=args.schema_mode,
     )
     elapsed = time.monotonic() - t0
+    cpu1 = audit._own_cpu_seconds()
+    gc1 = audit.jvm_gc_ms(spark)
 
     summary = {
         "elapsed_sec": round(elapsed, 2),
         "triples": report.triples_emitted,
         "triples_per_sec": round(report.triples_emitted / elapsed, 1),
+        # whole-run CPU/GC telemetry (round-5 verdict item 2): own-tree
+        # CPU-seconds + driver-JVM GC ms over the pipeline window, and
+        # the same per stage below, so an own-CPU spread across
+        # identical runs is attributable from the summary alone. In
+        # local[N] mode the driver JVM is the whole runtime, so gc_ms
+        # is the run's total stop-the-world GC cost.
+        "own_cpu_s": (
+            round(cpu1 - cpu0, 2) if cpu0 is not None and cpu1 is not None else None
+        ),
+        "gc_ms": int(gc1 - gc0) if gc0 is not None and gc1 is not None else None,
         "stages": {
-            name: {"rows": r.row_count, "skipped": r.skipped, "sec": r.elapsed_sec}
+            name: {"rows": r.row_count, "skipped": r.skipped, "sec": r.elapsed_sec,
+                   "own_cpu_s": r.own_cpu_s, "gc_ms": r.gc_ms}
             for name, r in report.results.items()
         },
     }

@@ -129,15 +129,29 @@ def test_own_cpu_counts_reaped_child_exactly_once():
     from kgflow.audit import _own_cpu_seconds
 
     a = _own_cpu_seconds()
+    ct0 = os.times()
     subprocess.run(
         [sys.executable, "-c",
          "import time\nt = time.process_time()\n"
          "while time.process_time() - t < 0.5: pass"],
         check=True,
     )
+    ct1 = os.times()
     b = _own_cpu_seconds()
     assert a is not None and b is not None
+    # the child's CPU in ISOLATION: this process's cutime/cstime delta
+    # across the reap is exactly the reaped child's burn, untouched by
+    # the shared pytest Spark JVM's background threads (GC, heartbeats),
+    # which made a fixed upper bound on the whole-tree delta flaky in
+    # the full suite (round-5 advice)
+    child = (ct1.children_user + ct1.children_system) - (
+        ct0.children_user + ct0.children_system
+    )
+    assert child >= 0.4, f"reaped-child CPU lost: {child:.2f}s"
     burned = b - a
-    # one child burn (~0.5 s) + this process's small overhead; a
-    # double-count would read >= ~1.0
-    assert 0.4 <= burned <= 0.85, f"reaped-child CPU miscounted: {burned:.2f}s"
+    # the tree delta must include the child ONCE: at least the child's
+    # burn (minus tick granularity), and under 2x it plus background
+    # slack — a double-count (cutime + RUSAGE_CHILDREN summed) reads
+    # >= 2x the child burn
+    assert burned >= child - 0.1, f"child burn missing from tree: {burned:.2f}s"
+    assert burned < 2 * child, f"reaped-child CPU double-counted: {burned:.2f}s"

@@ -626,3 +626,79 @@ def test_ivf_index_with_trained_centroids(spark, tmp_path):
     )
     want = similarity.ivf_topk(vectors, queries, dim=16, k=5, centroids=trained)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ivf_join_assignment_matches_folded(spark):
+    """The broadcast-join quantizer (the 4k-65k-inverted-list scale
+    path, round-5 verdict item 3) must assign every vector to exactly
+    the cluster the folded-literal path picks — same rounded cosine,
+    same (sim desc, cluster asc) tie-break — at the default width and
+    above the auto-switch threshold."""
+    vectors = _pseudo_vectors(spark)
+    for n in (16, 128):
+        fold = {
+            (r.vec_id, r.cluster)
+            for r in similarity.ivf_assignments(
+                vectors, dim=16, n_centroids=n, assign="fold"
+            ).collect()
+        }
+        join = {
+            (r.vec_id, r.cluster)
+            for r in similarity.ivf_assignments(
+                vectors, dim=16, n_centroids=n, assign="join"
+            ).collect()
+        }
+        assert fold == join, f"join/fold assignment divergence at n={n}"
+
+
+def test_ivf_wide_quantizer_auto_join_sane_plan(spark, tmp_path):
+    """At >= 1024 centroids the auto path must use the broadcast-join
+    quantizer: the plan stays O(1) in n_centroids (no 1024-branch
+    folded array expression) and carries the broadcast join, and the
+    path is wired through write_ivf_index -> stored index."""
+    vectors = _pseudo_vectors(spark)
+    asg = similarity.ivf_assignments(vectors, dim=16, n_centroids=1024)
+    plan = _plan(asg)
+    # a folded 1024-centroid quantizer embeds 1024 x 16 literals
+    # (hundreds of KB of plan text); the join plan is constant-size
+    assert len(plan) < 50_000, f"plan blew up: {len(plan)} chars"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    rows = asg.collect()
+    assert len(rows) == vectors.count()
+    assert all(0 <= r.cluster < 1024 for r in rows)
+
+    path = str(tmp_path / "wide_ivf")
+    similarity.write_ivf_index(vectors, path, dim=16, n_centroids=1024)
+    stored = {
+        (r.vec_id, r.cluster)
+        for r in spark.read.parquet(path).select("vec_id", "cluster").collect()
+    }
+    assert stored == {(r.vec_id, r.cluster) for r in rows}
+    # end-to-end probe at wide quantizer width: the query side ranks
+    # probes via the join+window path (same threshold switch)
+    queries = vectors.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    topk = similarity.ivf_topk(vectors, queries, dim=16, k=5, n_centroids=1024)
+    assert topk.count() > 0
+
+
+def test_lsh_near_dup_from_index_matches_in_memory_with_append(spark, tmp_path):
+    """Near-dup detection over the STORED LSH index (round-5 verdict
+    item 6): build the index on the base corpus, APPEND only the
+    planted clones (incremental shard path — old rows never
+    re-bucketed), and the stored-index pair set must equal the
+    in-memory path over the full planted corpus."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planted = similarity.plant_near_duplicate_vectors(emb)
+    clones = planted.where(F.col("vec_id") >= 1_000_000)
+    path = str(tmp_path / "lsh_nd_index")
+    similarity.write_lsh_index(emb, path, dim=64)
+    similarity.write_lsh_index(clones, path, dim=64, mode="append")
+    index = spark.read.parquet(path)
+    got = similarity.embedding_near_duplicates_lsh_from_index(index, threshold=0.95)
+    want = similarity.embedding_near_duplicates_lsh(planted, dim=64, threshold=0.95)
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows
+    assert len(got_rows) > 0  # planted clones guarantee cos=1.0 pairs

@@ -81,6 +81,11 @@ def run_once(label: str, master: str, corpus: str, max_retries: int = 2) -> dict
             if proc.returncode != 0:
                 raise RuntimeError(f"pipeline failed at {master}:\n{proc.stderr[-2000:]}")
             payload = json.loads(proc.stdout[proc.stdout.index("{"):])
+            # run_pipeline's own summary now carries own_cpu_s (pipeline
+            # window, measured inside the subprocess) — keep it under
+            # its own key; this harness's own_cpu_s is the parent-side
+            # whole-run tree measure (includes JVM startup)
+            payload["pipeline_own_cpu_s"] = payload.pop("own_cpu_s", None)
             payload["steal_pct"] = window.steal_pct
             payload["iowait_pct"] = window.iowait_pct
             payload["other_busy_pct"] = window.other_busy_pct
@@ -139,6 +144,7 @@ def measure(corpus: str, runs: int, levels: dict[str, str], warmup: bool = True)
     iowaits: dict[str, list[float]] = {label: [] for label in levels}
     others: dict[str, list[float]] = {label: [] for label in levels}
     owns: dict[str, list[float]] = {label: [] for label in levels}
+    gcs: dict[str, list] = {label: [] for label in levels}
     triples = None
     for _ in range(runs):
         for label, master in levels.items():
@@ -148,6 +154,7 @@ def measure(corpus: str, runs: int, levels: dict[str, str], warmup: bool = True)
             iowaits[label].append(r.get("iowait_pct", -1.0))
             others[label].append(r.get("other_busy_pct", -1.0))
             owns[label].append(r.get("own_cpu_s", -1.0))
+            gcs[label].append(r.get("gc_ms"))
             triples = r["triples"]
             print(
                 f"# run {label} {r['elapsed_sec']}s steal={r.get('steal_pct')}% "
@@ -166,6 +173,9 @@ def measure(corpus: str, runs: int, levels: dict[str, str], warmup: bool = True)
             # own-tree CPU-seconds per run: constant work at varying
             # wall-clock distinguishes host slowness from a regression
             "own_cpu_s": owns[label],
+            # driver-JVM stop-the-world GC ms per run (executor JVMs
+            # not covered in local-cluster mode — see audit.jvm_gc_ms)
+            "gc_ms": gcs[label],
             "median_sec": med,
             "triples": triples,
             "triples_per_sec": round(triples / med, 1),
@@ -252,6 +262,7 @@ shuffle disk, costs a real 4x-executor cluster does not pay.)
 
 Raw run times (sec): N={n['runs']}, 4N={n4['runs']}
 Own-tree CPU-seconds per run: N={n['own_cpu_s']}, 4N={n4['own_cpu_s']}
+Driver-JVM GC ms per run: N={n['gc_ms']}, 4N={n4['gc_ms']}
 (constant own-CPU at varying wall-clock distinguishes host slowness
 from a code regression; shared-host variance is large and interleaving
 keeps the comparison fair).

@@ -53,7 +53,17 @@ def _own_cpu_seconds() -> "float | None":
     /proc/stat's totals but their pids are invisible in our namespace —
     subtracting our own tree from host busy time is therefore a DIRECT
     measure of co-tenant CPU, which the steal counter cannot see
-    (round-4 verdict item 2: 2-3x swings at near-zero steal)."""
+    (round-4 verdict item 2: 2-3x swings at near-zero steal).
+
+    Known attribution caveat at SUB-window (per-stage) granularity:
+    when an intermediate parent (a pyspark.daemon) is torn down while
+    its worker children still hold accumulated CPU, the workers
+    re-parent outside this tree and their ticks leave the visible
+    total — a stage boundary can then show a small NEGATIVE delta
+    (measured: -116 to -138 s right after the sha-UDF ingest stage,
+    ~5% of the run total, timing-dependent). Whole-run deltas are
+    unaffected when children are reaped normally (ticks roll into
+    cutime up the chain)."""
     import os
 
     try:
@@ -133,12 +143,22 @@ class CpuWindow:
     iowait_pct: float = 0.0
     other_busy_pct: float = 0.0
     load1: float = 0.0
-    # CPU-seconds burned by THIS process tree inside the window. Wall
-    # time varies 2-3x with host contention, but the work a fixed job
-    # does is constant — so same own_cpu_s at double the wall-clock
-    # PROVES host slowness (frequency/memory-bus) from the record
-    # alone, while higher own_cpu_s means the run itself did more work.
-    # Diagnostic only; never gates.
+    # CPU-seconds burned by THIS process tree inside the window.
+    # Interpretation (corrected round 6 after a measured triplicate —
+    # BENCH/HEADLINE.md "own-CPU reconciliation"): own_cpu_s is
+    # invariant to SCHEDULING contention (time-slicing: our threads
+    # simply run later) but NOT to memory-subsystem contention —
+    # cycles stalled on a co-tenant-saturated memory bus or SMT
+    # sibling are still scheduled and still charged as CPU time, so
+    # heavy co-tenant load inflates own_cpu_s roughly in proportion to
+    # wall (measured: 500k-file pipeline burns a stable ~2200-2400
+    # CPU-s on a quiet host, 1.09x spread, but up to 4982 CPU-s at
+    # load1~24 with the own_cpu/wall ratio near-constant). Read it as
+    # a ratio: constant own_cpu_s with rising wall = pure scheduling
+    # steal; own_cpu_s rising WITH wall at ~constant own_cpu/wall =
+    # memory-stall inflation (co-tenant) — either way host noise, not
+    # a code regression, which shows as more CPU at UNCHANGED wall
+    # conditions. Diagnostic only; never gates.
     own_cpu_s: float = 0.0
     available: bool = False
 

@@ -35,9 +35,23 @@ pressure (round-5 advice).
 The kg_pipeline headline follows the same clean-iteration state
 machine (smaller attempt budget — each attempt is minutes), each
 iteration a fresh subprocess JVM over one shared pre-materialized
-corpus (scaling.py protocol). The JSON carries max steal/iowait/
-other-busy over the PUBLISHED iterations, the total rejected-attempt
-count, and the unmeasured list, so the publish is self-describing.
+corpus (scaling.py protocol), PLUS a second, kg-only gate: the
+MEMORY-STALL filter. The pipeline's work at fixed input is constant
+(measured quiet-host own-CPU spread 1.09x — BENCH/HEADLINE.md
+round-6 reconciliation), but co-tenant memory-BANDWIDTH pressure
+inflates own-CPU roughly in proportion to wall while staying under
+the 10% co-tenant CPU-share gate (measured: a 246.9 s iteration at
+4149 own-CPU-s vs 1128 quiet, other_busy only 4.7%). So a clean-
+window kg attempt whose own_cpu_s exceeds KG_STALL_FACTOR x the
+run's smallest clean attempt is reclassified as stall-contaminated
+and replaced (within the attempt budget). The rule is kg-only
+because it needs work-constancy at measurement-dominating CPU
+totals; short suite queries show up to 3.3x own-CPU jitter from
+tick granularity + JIT residue and would thrash under it. All
+attempts (including stall-rejected) are recorded in history. The
+JSON carries max steal/iowait/other-busy over the PUBLISHED
+iterations, the total rejected-attempt count, and the unmeasured
+list, so the publish is self-describing.
 
 Two rows exercise the AT-REST ANN index path (round-5 verdict item 5):
 ann_lsh_probe_at_rest / ann_ivf_probe_at_rest time the probe-only cost
@@ -48,15 +62,21 @@ checks. These are bench-only rows (the 50-query oracle registry is
 unchanged; from-index results are pytest-pinned identical to the
 in-memory forms, which ARE oracle-checked).
 
-The kg headline runs at 500k files (round-4 verdict item 3: at 60k the
-~54 s fixed cost — link/canonicalize driver-side loops, stage
+The kg headline runs at 500k files (round-4 verdict item 3: at 60k
+the fixed cost — link/canonicalize driver-side loops, stage
 scheduling floors, eager checkpoints — dominated and the number
-understated the engine). Fixed cost measured by a two-point fit on
-this host (clean windows, 2026-08-17): 69.5 s at 60k vs 132.4 s at
-300k files -> slope 0.262 ms/file, fixed ~53.8 s; at 500k the
-projected ~185 s median is >=3x that fixed cost. The JSON publishes
-the estimate and the ratio (kg.fixed_cost_est_sec, kg.vs_fixed_cost)
-so the meaningfulness criterion is checkable from the artifact.
+understated the engine). Fixed cost measured by a same-day two-point
+fit (min of 2 clean runs per size, 2026-08-17 evening regime):
+22.19 s at 60k vs 68.87 s at 300k files -> slope 0.195 ms/file,
+fixed ~10.5 s; the 500k projection (107.8 s) matches the measured
+104 s median, and the median is ~10x the fixed cost. NOTE the
+estimate is HOST-REGIME dependent (the morning fit on a slower
+window gave 0.262 ms/file / 53.8 s fixed — both scale with host
+speed): kg.vs_fixed_cost is only meaningful against a fit from the
+same host regime, so re-fit when the headline shifts by >2x. The
+JSON publishes the estimate and the ratio (kg.fixed_cost_est_sec,
+kg.vs_fixed_cost) so the meaningfulness criterion is checkable from
+the artifact.
 
 Every run also appends one record per query to BENCH/history.jsonl
 (ts, sf, cpus, per-iteration timings) so cross-round comparisons are
@@ -77,9 +97,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 KG_FILES = int(os.environ.get("KGFLOW_BENCH_FILES", "500000"))
 ITERS = int(os.environ.get("KGFLOW_BENCH_ITERS", "3"))
-# two-point fit on clean windows (see module docstring); scaled to the
-# benched corpus size purely for the vs_fixed_cost ratio readout
-KG_FIXED_COST_EST_SEC = 53.8
+# same-day two-point fit on clean windows (see module docstring);
+# used purely for the vs_fixed_cost ratio readout — host-regime
+# dependent, re-fit when the headline shifts by >2x
+KG_FIXED_COST_EST_SEC = 10.5
 # clean-window budgets (round-5 verdict item 1): per measurement pass a
 # query may burn the clean iterations it still needs plus EXTRA_ATTEMPTS
 # contaminated ones; queries still short of ITERS clean timings are
@@ -90,6 +111,8 @@ RETRY_SLEEP_SEC = 8          # pause after a contaminated attempt
 REQUEUE_SLEEP_SEC = 30       # pause before each requeue pass
 MIN_CLEAN_FOR_PUBLISH = 2    # fewer clean iterations -> row is unmeasured
 KG_EXTRA_ATTEMPTS = 2        # kg attempts cost minutes; smaller budget
+KG_MAX_ATTEMPTS = 8          # hard cap on total kg attempts per bench run
+KG_STALL_FACTOR = 1.5        # kg-only memory-stall gate (see docstring)
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "history.jsonl")
 
 BENCH_QUERIES = [
@@ -136,6 +159,20 @@ from kgflow.audit import timed_audited
 
 def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+def _kg_stall_survivors(clean: "list[dict]", factor: "float | None" = None) -> "list[dict]":
+    """kg-only memory-stall gate (module docstring): among the
+    window-clean attempts, drop those whose own-CPU exceeds
+    ``factor`` (default KG_STALL_FACTOR) x the smallest clean
+    attempt's — constant work means that inflation is stalled cycles,
+    not compute. Needs >= 2 clean attempts to establish the floor."""
+    factor = KG_STALL_FACTOR if factor is None else factor
+    usable = [r for r in clean if r["own_cpu_s"] > 0]
+    if len(usable) < 2:
+        return clean
+    floor = min(r["own_cpu_s"] for r in usable)
+    return [r for r in clean if r["own_cpu_s"] <= factor * floor]
 
 
 def _measure_pass(
@@ -348,6 +385,7 @@ def main() -> int:
 
     kg_dir = tempfile.mkdtemp(prefix="kgflow_bench_")
     kg_state = {"clean": [], "attempts": []}
+    kg_survivors: list[dict] = []
     repo = os.path.dirname(os.path.abspath(__file__))
     try:
         corpus_path = os.path.join(kg_dir, "corpus")
@@ -367,35 +405,39 @@ def main() -> int:
                 raise RuntimeError(f"pipeline failed:\n{proc.stderr[-2000:]}")
             return json.loads(proc.stdout[proc.stdout.index("{"):])
 
-        # same clean-iteration state machine as the suite (two passes;
-        # each kg attempt costs minutes, so the per-pass extra budget is
-        # smaller). The per-attempt record carries run_pipeline's
-        # per-stage telemetry (sec + own_cpu_s + gc_ms per stage) so an
-        # own-CPU spread across iterations is attributable to a stage
-        # from the bench artifact alone (round-5 verdict item 2).
-        for _ in range(2):
-            if len(kg_state["clean"]) >= ITERS:
+        # same clean-iteration state machine as the suite (each kg
+        # attempt costs minutes, so one run is added at a time under a
+        # hard attempt cap), with the stall filter applied on top. The
+        # per-attempt record carries run_pipeline's per-stage telemetry
+        # (sec + own_cpu_s + gc_ms per stage) so an own-CPU spread
+        # across iterations is attributable to a stage from the bench
+        # artifact alone (round-5 verdict item 2).
+        while True:
+            survivors = _kg_stall_survivors(kg_state["clean"])
+            if len(survivors) >= ITERS or len(kg_state["attempts"]) >= KG_MAX_ATTEMPTS:
                 break
             _measure_pass(
-                one_run, kg_state, ITERS, KG_EXTRA_ATTEMPTS,
+                one_run, kg_state, len(kg_state["clean"]) + 1, 0,
                 sec_of=lambda s: s["elapsed_sec"],
                 annotate=lambda s: {"stages": s.get("stages"),
                                     "gc_ms": s.get("gc_ms"),
                                     "own_cpu_s_pipeline": s.get("own_cpu_s")},
             )
-            if len(kg_state["clean"]) < ITERS:
-                time.sleep(REQUEUE_SLEEP_SEC)
+        kg_survivors = _kg_stall_survivors(kg_state["clean"])
     finally:
         shutil.rmtree(kg_dir, ignore_errors=True)
 
-    kg_clean = [r["sec"] for r in kg_state["clean"]]
-    rejected_attempts += sum(1 for a in kg_state["attempts"] if a["contaminated"])
+    kg_clean = [r["sec"] for r in kg_survivors]
+    kg_stall_rejected = len(kg_state["clean"]) - len(kg_survivors)
+    rejected_attempts += (
+        sum(1 for a in kg_state["attempts"] if a["contaminated"]) + kg_stall_rejected
+    )
     kg_summary = kg_state.get("last_result") or {}
     kg_triples = int(kg_summary.get("triples", 0))
     if len(kg_clean) >= MIN_CLEAN_FOR_PUBLISH:
         kg_elapsed = statistics.median(kg_clean)
         timings["kg_pipeline"] = round(kg_elapsed, 3)
-        for r in kg_state["clean"]:
+        for r in kg_survivors:
             max_steal = max(max_steal, r["steal_pct"])
             max_iowait = max(max_iowait, r["iowait_pct"])
             max_other = max(max_other, r["other_busy_pct"])
@@ -407,11 +449,12 @@ def main() -> int:
         {"ts": run_ts, "sf": sf, "cpus": CPUS, "query": "kg_pipeline",
          "iters": kg_clean, "median": timings["kg_pipeline"],
          "clean_count": len(kg_clean),
-         "steal_pct": [r["steal_pct"] for r in kg_state["clean"]],
-         "iowait_pct": [r["iowait_pct"] for r in kg_state["clean"]],
-         "other_busy_pct": [r["other_busy_pct"] for r in kg_state["clean"]],
-         "load1": [r["load1"] for r in kg_state["clean"]],
-         "own_cpu_s": [r["own_cpu_s"] for r in kg_state["clean"]],
+         "stall_rejected": kg_stall_rejected,
+         "steal_pct": [r["steal_pct"] for r in kg_survivors],
+         "iowait_pct": [r["iowait_pct"] for r in kg_survivors],
+         "other_busy_pct": [r["other_busy_pct"] for r in kg_survivors],
+         "load1": [r["load1"] for r in kg_survivors],
+         "own_cpu_s": [r["own_cpu_s"] for r in kg_survivors],
          "contaminated": [False] * len(kg_clean),
          "attempts": kg_state["attempts"],
          "n_files": KG_FILES, "triples": kg_triples}

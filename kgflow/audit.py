@@ -158,7 +158,10 @@ class CpuWindow:
     # steal; own_cpu_s rising WITH wall at ~constant own_cpu/wall =
     # memory-stall inflation (co-tenant) — either way host noise, not
     # a code regression, which shows as more CPU at UNCHANGED wall
-    # conditions. Diagnostic only; never gates.
+    # conditions. Never gates here; bench.py promotes it to a gate for
+    # the kg_pipeline row only (within-run inflation vs the smallest
+    # clean attempt — sound there because that job's work-constancy is
+    # measured and its CPU totals dwarf tick granularity).
     own_cpu_s: float = 0.0
     available: bool = False
 

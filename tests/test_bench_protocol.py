@@ -91,3 +91,18 @@ def test_measure_pass_sec_of_and_annotate(monkeypatch):
     assert state["clean"][0]["sec"] == 42.5
     assert state["clean"][0]["stages"] == {"x": 1}
     assert state["last_result"]["elapsed_sec"] == 42.5
+
+
+def test_kg_stall_survivors_filters_inflated_cpu():
+    def rec(sec, own):
+        return {"sec": sec, "own_cpu_s": own}
+
+    clean = [rec(246.9, 4148.6), rec(104.0, 1542.4), rec(76.7, 1128.1)]
+    surv = bench._kg_stall_survivors(clean)
+    # floor 1128.1; 1.5x floor = 1692 -> the 4148.6 attempt is stalled
+    assert [r["sec"] for r in surv] == [104.0, 76.7]
+    # fewer than 2 usable attempts: no floor, nothing filtered
+    assert bench._kg_stall_survivors([rec(100.0, 2000.0)]) == [rec(100.0, 2000.0)]
+    # own-CPU unavailable (0.0) never establishes or breaks the floor
+    mixed = [rec(10.0, 0.0), rec(11.0, 100.0), rec(12.0, 105.0)]
+    assert len(bench._kg_stall_survivors(mixed)) == 3

@@ -553,20 +553,35 @@ def train_centroids(
 
     Empty clusters keep their previous centroid (standard Lloyd
     degenerate handling, keeps k stable). Zero-norm vectors are
-    excluded, matching ivf_topk's guard."""
+    excluded, matching ivf_topk's guard.
+
+    Wide quantizers (> IVF_FOLD_MAX_CENTROIDS) assign via the same
+    broadcast-join argmax ivf_assignments uses instead of folding
+    O(n_centroids) literal expressions into every Lloyd iteration's
+    plan — training a 4k-65k-list quantizer would otherwise blow plan
+    compilation n_iters times over (same switch, same rounded-cosine
+    tie-break, so the ASSIGNMENT step is path-independent; the mean
+    update keeps the fixed-partitioning caveat above either way)."""
     vecs = (
-        embeddings.select(_as_double(F.col("embedding")).alias("vec"))
+        embeddings.select("vec_id", _as_double(F.col("embedding")).alias("vec"))
         .withColumn("nv", _norm(F.col("vec")))
         .where(F.col("nv") > 0)
     )
     cents = [_centroid(dim, c) for c in range(n_centroids)]
     for _ in range(n_iters):
-        sims = _sims_to_centroids(F.col("vec"), cents, norm_col=F.col("nv"))
-        assigned = vecs.select(
-            (F.array_position(sims, F.array_max(sims)) - 1)
-            .cast("int")
-            .alias("cluster"),
-            F.posexplode("vec").alias("pos", "val"),
+        if n_centroids > IVF_FOLD_MAX_CENTROIDS:
+            clustered = _assign_join(vecs, cents)
+        else:
+            sims = _sims_to_centroids(F.col("vec"), cents, norm_col=F.col("nv"))
+            clustered = vecs.select(
+                "vec_id",
+                "vec",
+                (F.array_position(sims, F.array_max(sims)) - 1)
+                .cast("int")
+                .alias("cluster"),
+            )
+        assigned = clustered.select(
+            "cluster", F.posexplode("vec").alias("pos", "val")
         )
         means = (
             assigned.groupBy("cluster", "pos")

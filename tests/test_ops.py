@@ -702,3 +702,18 @@ def test_lsh_near_dup_from_index_matches_in_memory_with_append(spark, tmp_path):
     want_rows = sorted(map(tuple, want.collect()))
     assert got_rows == want_rows
     assert len(got_rows) > 0  # planted clones guarantee cos=1.0 pairs
+
+
+def test_train_centroids_wide_quantizer_join_path(spark):
+    """Training a wide quantizer must route each Lloyd iteration's
+    assignment through the broadcast-join path (no O(n_centroids)
+    folded plan per iteration) and still return one centroid row per
+    cluster with the input dimensionality."""
+    vectors = _pseudo_vectors(spark)
+    trained = similarity.train_centroids(vectors, dim=16, n_centroids=96, n_iters=2)
+    rows = trained.collect()
+    assert len(rows) == 96
+    assert all(len(r.centroid) == 16 for r in rows)
+    # trained table plugs into the stored-index path at wide widths too
+    asg = similarity.ivf_assignments(vectors, dim=16, centroids=trained)
+    assert asg.count() == vectors.count()

@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     # rows — see module docstring; not in the 50-query oracle registry)
     "ann_lsh_probe_at_rest",
     "ann_ivf_probe_at_rest",
+    "ann_ivfpq_probe_at_rest",
     "langid_predict",
     "text_quality",
     "token_stats_by_lang",
@@ -242,13 +243,19 @@ def main() -> int:
     ann_queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+    from kgflow.ops import pq
+
     lsh_path = os.path.join(idx_dir, "lsh")
     ivf_path = os.path.join(idx_dir, "ivf")
+    ivfpq_path = os.path.join(idx_dir, "ivfpq")
     similarity.write_lsh_index(
         emb, lsh_path, dim, bucket_cap=similarity.DEFAULT_BUCKET_CAP
     )
     similarity.write_ivf_index(
         emb, ivf_path, dim, cluster_cap=similarity.DEFAULT_CLUSTER_CAP
+    )
+    pq.write_ivfpq_index(
+        emb, ivfpq_path, dim, cluster_cap=similarity.DEFAULT_CLUSTER_CAP
     )
     extra_runners = {
         "ann_lsh_probe_at_rest": lambda: _force(
@@ -259,6 +266,11 @@ def main() -> int:
         "ann_ivf_probe_at_rest": lambda: _force(
             similarity.ivf_topk_from_index(
                 spark.read.parquet(ivf_path), ann_queries, dim, k=5
+            )
+        ),
+        "ann_ivfpq_probe_at_rest": lambda: _force(
+            pq.ivfpq_topk_from_index(
+                spark.read.parquet(ivfpq_path), ann_queries, dim, topk=5
             )
         ),
     }

@@ -107,3 +107,31 @@ def test_ivfpq_code_payload_is_compact(spark, tmp_path):
     pq.write_ivfpq_index(vectors, path, dim=16)
     stored = spark.read.parquet(path)
     assert set(stored.columns) == {"vec_id", "codes", "cluster"}
+
+
+def test_ivfpq_index_with_trained_components(spark, tmp_path):
+    """The stored IVF-PQ path accepts trained coarse centroids AND
+    trained sub-codebooks together — build and probe with the SAME
+    persisted tables (the documented contract) and match the in-memory
+    index table under identical parameters."""
+    vectors = _pseudo_vectors(spark)
+    queries = _queries(vectors)
+    trained_cents = similarity.train_centroids(vectors, dim=16, n_iters=2)
+    trained_cb = pq.train_pq_codebooks(vectors, dim=16, n_iters=2)
+    path = str(tmp_path / "ivfpq_trained")
+    pq.write_ivfpq_index(
+        vectors, path, dim=16, centroids=trained_cents, codebooks=trained_cb
+    )
+    stored = spark.read.parquet(path)
+    got = pq.ivfpq_topk_from_index(
+        stored, queries, dim=16, topk=5,
+        centroids=trained_cents, codebooks=trained_cb,
+    )
+    mem = pq.ivfpq_index_table(
+        vectors, dim=16, centroids=trained_cents, codebooks=trained_cb
+    )
+    want = pq.ivfpq_topk_from_index(
+        mem, queries, dim=16, topk=5,
+        centroids=trained_cents, codebooks=trained_cb,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -37,6 +37,13 @@ STAGES = ("ingested", "triples", "alias_edges", "canonical_map", "nodes", "edges
 @dataclass
 class PipelineReport:
     results: dict[str, lin.StageResult] = field(default_factory=dict)
+    # wall seconds of the work that happens BETWEEN stage writes —
+    # materialize's eager build of the shared canonicalized stream and
+    # the end-of-run constraint validation. Round-7 telemetry: the gap
+    # between sum(stage secs) and elapsed was ~10 s/run at 200k files
+    # and unattributable from the summary alone (guide §1: measure the
+    # thing you want to optimize).
+    sections: dict[str, float] = field(default_factory=dict)
 
     @property
     def triples_emitted(self) -> int:
@@ -137,7 +144,12 @@ def run_pipeline(
         "triples",
         fp1,
         lambda: extract_with_manifest(
-            source, manifest, engine=extraction_engine, broadcast=use_broadcast
+            source, manifest, engine=extraction_engine, broadcast=use_broadcast,
+            # the manifest is the ingest stage's own output over a
+            # source keyed by (repo, path, commit) — unique by
+            # construction, so skip the defensive dedup shuffle that
+            # otherwise blocks the broadcast build (round-7, guide §2.4)
+            assume_unique=True,
         ),
     )
     triples = lin.read_stage(spark, run_dir, "triples")
@@ -157,7 +169,11 @@ def run_pipeline(
         lin.is_complete(f"{run_dir}/nodes", fp4)
         and lin.is_complete(f"{run_dir}/edges", fp4)
     ):
+        import time as _time
+
+        _t0 = _time.monotonic()
         nodes_df, edges_df = materialize(triples, cmap, out_partitions=out_partitions)
+        report.sections["materialize_build"] = round(_time.monotonic() - _t0, 3)
     else:
         nodes_df = edges_df = None
     stage("nodes", fp4, lambda: nodes_df)
@@ -166,8 +182,20 @@ def run_pipeline(
     if validate:
         nodes = lin.read_stage(spark, run_dir, "nodes")
         edges = lin.read_stage(spark, run_dir, "edges")
-        assert_unique_ids(nodes)
-        assert_edge_endpoints(nodes, edges)
+        # the two constraint probes are independent actions; running
+        # them from a 2-thread pool lets the second job back-fill the
+        # first's straggler tail (guide §2.6) — measured 4.6 -> 3.2 s
+        # in a fresh JVM at 200k files
+        from concurrent.futures import ThreadPoolExecutor
+        import time as _time
+
+        _t0 = _time.monotonic()
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fu = pool.submit(assert_unique_ids, nodes)
+            fe = pool.submit(assert_edge_endpoints, nodes, edges)
+            fu.result()
+            fe.result()
+        report.sections["validate"] = round(_time.monotonic() - _t0, 3)
     return report
 
 

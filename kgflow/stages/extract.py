@@ -199,6 +199,7 @@ def extract_with_manifest(
     engine: str = "native",
     broadcast: bool = True,
     buckets: int = 256,
+    assume_unique: bool = False,
 ) -> DataFrame:
     """Extraction that PROPAGATES the ingest manifest's content_sha by
     file_id instead of recomputing it — hash once, join by key.
@@ -218,8 +219,15 @@ def extract_with_manifest(
     The manifest MUST be unique per file_id: (repo, path, commit) is the
     contract key of the source table, and a duplicate entry would fan
     every triple out N times (and could attach the wrong sha). Enforced
-    here with dropDuplicates — cheap on the narrow side — rather than
-    trusted.
+    here with dropDuplicates rather than trusted — EXCEPT when the
+    caller passes ``assume_unique=True``: the dedup shuffle of the
+    narrow side sits on the broadcast-build critical path (the big scan
+    cannot start until manifest scan -> exchange -> dedup -> collect
+    completes) and measured 6-7 s of a fresh-JVM pipeline run at 200k
+    files (round-7, guide §2.4: remove shuffles on already-unique
+    data). The pipeline sets it: its manifest is the ingest stage's own
+    output over a source whose contract key IS (repo, path, commit), so
+    the dedup is a no-op there by construction.
 
     The invariant is unchanged: src_sha equals sha256(content) of the
     originating row (tests assert equality against an inline recompute).
@@ -236,7 +244,9 @@ def extract_with_manifest(
         ).alias("content_sha"),  # file_id riding the sha slot until the join
     )
     trip = extract(keyed, engine=engine)
-    narrow = manifest.select("file_id", "content_sha").dropDuplicates(["file_id"])
+    narrow = manifest.select("file_id", "content_sha")
+    if not assume_unique:
+        narrow = narrow.dropDuplicates(["file_id"])
     trip = trip.withColumnRenamed("src_sha", "file_id")
     if broadcast:
         joined = trip.join(F.broadcast(narrow), "file_id")

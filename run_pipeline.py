@@ -172,6 +172,10 @@ def main(argv: list[str] | None = None) -> int:
                    "own_cpu_s": r.own_cpu_s, "gc_ms": r.gc_ms}
             for name, r in report.results.items()
         },
+        # inter-stage wall time (materialize's eager shared-stream build,
+        # end-of-run validation) — the part of elapsed_sec that no stage
+        # row accounts for
+        "sections": dict(report.sections),
     }
     print(json.dumps(summary, indent=2))
 

@@ -349,11 +349,14 @@ def write_ivfpq_index(
     ``mode="append"`` indexes only new rows; pass the SAME centroids
     and codebooks at build and probe time (persist trained tables —
     see train_pq_codebooks)."""
+    # repartition on the partition column first — one file per inverted
+    # list instead of (write tasks x clusters) files; see
+    # similarity.write_lsh_index for the measured rationale
     ivfpq_index_table(
         embeddings, dim, m, k,
         n_centroids=n_centroids, centroids=centroids, codebooks=codebooks,
         cluster_cap=cluster_cap,
-    ).write.partitionBy("cluster").mode(mode).parquet(path)
+    ).repartition("cluster").write.partitionBy("cluster").mode(mode).parquet(path)
 
 
 def ivfpq_topk_from_index(

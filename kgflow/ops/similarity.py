@@ -619,9 +619,15 @@ def write_lsh_index(
     are deterministic per-row expressions, so existing partitions are
     never re-indexed. (bucket_cap is a per-build pass: re-apply it on
     the rewritten corpus version, not on appends.)"""
-    lsh_assignments(embeddings, dim, planes, bucket_cap).write.partitionBy(
+    # repartition on the partition column first: without it every write
+    # task emits one file per bucket it happens to hold (tasks x buckets
+    # files — at 10^9 vectors that is millions of tiny files); with it
+    # each bucket's rows land in one task -> one file per bucket, and
+    # the local write itself measured 20.2 -> 15.9 s at sf0.1 (guide
+    # §6: output file sizing).
+    lsh_assignments(embeddings, dim, planes, bucket_cap).repartition(
         "bucket"
-    ).mode(mode).parquet(path)
+    ).write.partitionBy("bucket").mode(mode).parquet(path)
 
 
 def lsh_topk_from_index(
@@ -677,10 +683,11 @@ def write_ivf_index(
     or hash-seeded default) at build and probe time; a centroid change
     is a new corpus version. ``assign`` as in ivf_assignments — auto
     switches wide quantizers to the broadcast-join path."""
+    # same repartition-on-partition-column rationale as write_lsh_index
     ivf_assignments(
         embeddings, dim, n_centroids, cluster_cap=cluster_cap, centroids=centroids,
         assign=assign,
-    ).write.partitionBy("cluster").mode(mode).parquet(path)
+    ).repartition("cluster").write.partitionBy("cluster").mode(mode).parquet(path)
 
 
 def ivf_topk_from_index(

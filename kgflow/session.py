@@ -73,6 +73,18 @@ def get_spark(
         # all executors share this host: waiting for data-locality only
         # stalls small stages (default 3s per locality level)
         .config("spark.locality.wait", "0ms")
+        # partition discovery over the at-rest ANN indexes (1.5k+ small
+        # partition dirs): above this many paths Spark launches a
+        # distributed listing JOB, whose fixed scheduling cost dwarfs a
+        # serial driver listing on a local filesystem — measured 2.6 s
+        # -> 0.22 s per spark.read.parquet() of the 1481-bucket LSH
+        # index (round 7, guide §6 file listing). On a real cluster
+        # over an object store, LOWER this back toward the 32 default
+        # via the env var so massive partition counts list in parallel.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("KGFLOW_PARTITION_DISCOVERY_THRESHOLD", "100000"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

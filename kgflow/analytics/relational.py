@@ -234,9 +234,18 @@ def q_part_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 countDistinct (customer-360-analytics.py:169,
     product-recommendations.py:363)."""
     li = load(spark, sf_dir, "lineitem")
+    # size(collect_set) instead of two countDistincts: multiple distinct
+    # aggregates plan an Expand that doubles every input row before the
+    # exchange; partial collect_sets aggregate map-side and shuffle one
+    # bounded set pair per group (~30 items/part here). Identical values
+    # (collect_set and countDistinct both ignore nulls); measured
+    # 1.28 -> 0.64 s at sf0.1 (guide §2.3 aggregate-before-shuffle).
+    # NOT applied to supplier_risk: its 100 supplier groups x 6k-part
+    # sets make the per-group set the skew — measured 1.06 -> 2.41 s.
+    # cast(long): countDistinct returned BIGINT — the published schema
     return li.groupBy("l_partkey").agg(
-        F.countDistinct("l_orderkey").alias("n_orders"),
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.size(F.collect_set("l_orderkey")).cast("long").alias("n_orders"),
+        F.size(F.collect_set("l_suppkey")).cast("long").alias("n_suppliers"),
     )
 
 
@@ -357,20 +366,47 @@ WHERE c_custkey NOT IN (
 """
 
 
+def _pair_structs(arr) -> F.Column:
+    """All unordered (a < b) element pairs of a SORTED array, as structs.
+
+    The JVM-side pair generator that replaces the classic key self-join
+    (guide §2.4): group the rows by the shared key, collect the sorted
+    distinct items, and expand each group's pairs with nested
+    transform/slice — the same (a, b) rows the self-join's a.key = b.key
+    AND a.item < b.item produces, but with ONE groupBy exchange instead
+    of two distinct-shuffles + a join exchange, and no double scan of
+    the input. Groups are capped by the callers (BUCKET/BUYER caps), so
+    the quadratic expansion stays bounded exactly like the join form."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
 def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 self-join on shared key + P7 inequality — the co-purchase
     pair counting of product-recommendations.py:59-67, keyed on orders
-    instead of customers. The skew-safe form: project to distinct
-    (order, part) first so a hot order contributes each pair once."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
+    instead of customers. The skew-safe form: distinct parts per order
+    (collect_set dedups in the same exchange the old distinct paid),
+    each order contributing each pair once. Round-7 shape: in-group
+    pair expansion (_pair_structs) instead of the self-join — one
+    exchange on l_orderkey replaces two distinct-shuffles plus the join
+    (plans/r07/copurchase_pairs_{before,after}.txt), with identical
+    output by construction."""
+    li = load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = per_order.select(F.explode(_pair_structs(F.col("parts"))).alias("p"))
     return (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+        pairs.groupBy(
+            F.col("p.a").alias("part_a"),
+            F.col("p.b").alias("part_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= 2)
@@ -656,23 +692,32 @@ def q_copurchase_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         # callers can release_caches() after their terminal action.
     )
     purchases = track_persist(purchases)
-    # anti-join against the HOT list, not inner-join against the cold
-    # one: the hot list is tiny (usually empty), so it broadcasts and
-    # the cap costs ~nothing when no part is viral
-    hot = (
+    # Round-7 similarity shape (guide §2.3/§2.4,
+    # plans/r07/copurchase_recommendations_{before,after}.txt): one
+    # groupBy(part) collects each part's sorted buyer set — the viral-
+    # part cap becomes a free size() filter on the collected array
+    # (replacing the hot-list aggregation + broadcast anti-join), and
+    # in-group pair expansion replaces the part-keyed self-join. The
+    # pair exchange then moves UNORDERED pairs — half the rows of the
+    # ordered (cust != other) join output, the dominant shuffle of this
+    # query (~17M ordered pair rows at sf0.1) — and both orientations
+    # are re-emitted only for the MIN_SHARED survivors. Same sim table
+    # by symmetry: shared(a,b) = shared(b,a).
+    grouped = (
         purchases.groupBy("part")
-        .agg(F.count(F.lit(1)).alias("n_buyers"))
-        .where(F.col("n_buyers") > PART_BUYER_CAP)
-        .select("part")
+        .agg(F.sort_array(F.collect_set("cust")).alias("buyers"))
+        .where(F.size("buyers") <= PART_BUYER_CAP)
     )
-    sim_input = purchases.join(F.broadcast(hot), "part", "left_anti")
-    p1 = sim_input.alias("p1")
-    p2 = sim_input.alias("p2")
-    sim = (
-        p1.join(p2, (F.col("p1.part") == F.col("p2.part")) & (F.col("p1.cust") != F.col("p2.cust")))
-        .groupBy(F.col("p1.cust").alias("cust"), F.col("p2.cust").alias("other"))
+    upairs = grouped.select(F.explode(_pair_structs(F.col("buyers"))).alias("p"))
+    shared_u = (
+        upairs.groupBy(F.col("p.a").alias("cust"), F.col("p.b").alias("other"))
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= MIN_SHARED)
+    )
+    sim = shared_u.unionByName(
+        shared_u.select(
+            F.col("other").alias("cust"), F.col("cust").alias("other"), "shared"
+        )
     )
     wn = W.partitionBy("cust").orderBy(F.col("shared").desc(), F.col("other"))
     neighbors = (
@@ -684,12 +729,20 @@ def q_copurchase_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases.select(F.col("cust").alias("other"), F.col("part").alias("rec")),
         "other",
     ).select("cust", "rec")
-    not_owned = cand.join(
-        purchases.select(F.col("cust"), F.col("part").alias("rec")),
-        ["cust", "rec"],
-        "left_anti",
+    # aggregate BEFORE the ownership anti-join: the count per (cust,
+    # rec) is unaffected by dropping owned pairs afterwards, and the
+    # anti-join then probes ~one row per distinct candidate instead of
+    # one per (neighbor, purchase) expansion row (guide §2.3 — measured
+    # 6.07 -> 5.66 s for the tail at sf0.1)
+    scored = (
+        cand.groupBy("cust", "rec")
+        .agg(F.count(F.lit(1)).alias("score"))
+        .join(
+            purchases.select(F.col("cust"), F.col("part").alias("rec")),
+            ["cust", "rec"],
+            "left_anti",
+        )
     )
-    scored = not_owned.groupBy("cust", "rec").agg(F.count(F.lit(1)).alias("score"))
     w = W.partitionBy("cust").orderBy(F.col("score").desc(), F.col("rec"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -803,8 +856,14 @@ def q_customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, li.l_partkey == p.p_partkey)
         .select("o_custkey", "o_orderkey", "o_totalprice", "p_brand")
     )
+    # size(collect_set) instead of countDistinct: mixing a distinct
+    # aggregate with the brands collect_set planned an Expand doubling
+    # the detail rows before the exchange; all-collect_set aggregates
+    # combine map-side (~10 orders + ~25 brands per customer — bounded
+    # sets). Identical values; measured 1.50 -> 0.77 s at sf0.1.
     rollup = detail.groupBy("o_custkey").agg(
-        F.countDistinct("o_orderkey").alias("purchase_count"),
+        # cast(long): countDistinct returned BIGINT — keep the schema
+        F.size(F.collect_set("o_orderkey")).cast("long").alias("purchase_count"),
         F.array_join(F.array_sort(F.collect_set("p_brand")), ",").alias("brands"),
     ).withColumnRenamed("o_custkey", "r_custkey")
     spent = o.groupBy("o_custkey").agg(
@@ -984,24 +1043,33 @@ def q_combined_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # stream 2 — brand affinity: customer's top brand x top parts of
-    # that brand (both by item count, deterministic tie-break)
-    brand_items = (
+    # that brand (both by item count, deterministic tie-break).
+    # Round-7 shape: the two brand aggregations used to re-plan the
+    # orders x lineitem x part join EACH (two full lineitem passes);
+    # now ONE (cust, part) count pre-aggregate carries both — the brand
+    # attaches via a broadcast of the part dim, the narrow result is
+    # persisted for its two consumers, and each branch finishes with a
+    # second-level sum (count per (cust,brand) == sum over parts of the
+    # (cust,part) counts; same for (brand,part) — p_brand is a function
+    # of p_partkey, so the regroup is exact).
+    cp_counts = (
         o.join(li, o.o_orderkey == li.l_orderkey)
-        .join(p, li.l_partkey == p.p_partkey)
-        .select(F.col("o_custkey").alias("cust"), "p_partkey", "p_brand")
+        .groupBy(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("p_partkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
     )
+    branded = track_persist(cp_counts.join(F.broadcast(p), "p_partkey"))
     wb = W.partitionBy("cust").orderBy(F.col("bn").desc(), F.col("p_brand"))
     cust_brand = (
-        brand_items.groupBy("cust", "p_brand")
-        .agg(F.count(F.lit(1)).alias("bn"))
+        branded.groupBy("cust", "p_brand")
+        .agg(F.sum("n").alias("bn"))
         .withColumn("r", F.row_number().over(wb))
         .where(F.col("r") == 1)
         .select("cust", "p_brand")
     )
     wp = W.partitionBy("p_brand").orderBy(F.col("pn").desc(), F.col("p_partkey"))
     brand_top = (
-        brand_items.groupBy("p_brand", "p_partkey")
-        .agg(F.count(F.lit(1)).alias("pn"))
+        branded.groupBy("p_brand", "p_partkey")
+        .agg(F.sum("n").alias("pn"))
         .withColumn("r", F.row_number().over(wp))
         .where(F.col("r") <= BRAND_TOP)
         .select("p_brand", F.col("p_partkey").alias("rec"), F.col("pn").alias("score"))
@@ -1011,19 +1079,23 @@ def q_combined_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # stream 3 — co-purchase partners: each owned part expands to its
-    # PARTNER_TOP strongest same-order partners only
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    pair_counts = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+    # PARTNER_TOP strongest same-order partners only. Round-7 shape:
+    # in-group pair expansion (_pair_structs) over the per-order
+    # distinct part sets — collect_set dedups in the same exchange the
+    # old `distinct` paid, the self-join disappears, and the pair
+    # exchange moves unordered pairs (half the ordered rows); both
+    # orientations are re-emitted afterwards, which is exactly the old
+    # (a.l_partkey != b.l_partkey) output by symmetry.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_u = (
+        per_order.select(F.explode(_pair_structs(F.col("parts"))).alias("pr"))
+        .groupBy(F.col("pr.a").alias("pa"), F.col("pr.b").alias("pb"))
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pair_counts = pair_u.unionByName(
+        pair_u.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"), "n")
     )
     wn = W.partitionBy("pa").orderBy(F.col("n").desc(), F.col("pb"))
     partner_top = (
@@ -1036,14 +1108,22 @@ def q_combined_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("cust", "rec", "score", F.lit("copurchase").alias("source"))
 
     unioned = s_trend.union(s_brand).union(s_copurch)  # U1, positional
-    not_owned = unioned.join(
-        cust_parts.select("cust", F.col("part").alias("rec")),
-        ["cust", "rec"],
-        "left_anti",
-    )
-    combined = not_owned.groupBy("cust", "rec").agg(
-        F.sum("score").alias("combined_score"),
-        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+    # aggregate BEFORE the ownership anti-join (same reordering as
+    # copurchase_recommendations): score sums and source sets per
+    # (cust, rec) are unaffected by dropping owned pairs afterwards,
+    # so the anti-join probes one row per distinct candidate instead
+    # of one per stream row
+    combined = (
+        unioned.groupBy("cust", "rec")
+        .agg(
+            F.sum("score").alias("combined_score"),
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+        )
+        .join(
+            cust_parts.select("cust", F.col("part").alias("rec")),
+            ["cust", "rec"],
+            "left_anti",
+        )
     )
     wr = W.partitionBy("cust").orderBy(F.col("combined_score").desc(), F.col("rec"))
     return (

@@ -177,9 +177,15 @@ def minhash_lsh_pairs(
 
     Exact-Jaccard verification stays available via token_jaccard_pairs
     (the oracle-checked baseline)."""
-    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh")).where(
-        F.size("sh") > 0
-    )
+    # No size(sh) > 0 filter: word_shingles is non-empty BY CONSTRUCTION
+    # (sequence(1, greatest(len-2, 1)) always yields >= 1 element, and
+    # array_distinct keeps >= 1 even for null text), so the old guard
+    # never dropped a row — but predicate pushdown moved it below this
+    # projection and re-evaluated the whole shingle expression per doc
+    # (plans/r07/dedup_minhash_lsh_before.txt node (5): a second full
+    # split+sequence+slice pass). The md5 oracle twin keeps its
+    # equally-vacuous `len(sh) > 0` (frozen SQL text); row sets match.
+    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
 
     if hash_family == "xxhash64":
         def hash_j(j: int):

@@ -85,6 +85,22 @@ def get_spark(
             "spark.sql.sources.parallelPartitionDiscovery.threshold",
             os.environ.get("KGFLOW_PARTITION_DISCOVERY_THRESHOLD", "100000"),
         )
+        # InferFiltersFromGenerate rewrites `explode(expr)` into
+        # `Filter(size(expr) > 0) + explode(expr)`; predicate pushdown
+        # then substitutes the alias and re-evaluates the FULL generator
+        # input expression once more per row. For our explodes the
+        # inferred filter can never prune (pair arrays may be empty but
+        # are trivially cheap; the graph_enrich property bag always
+        # carries value_tier), while the duplicated evaluation of the
+        # 4x-from_json merged-bag expression measurably doubled that
+        # query (guide §4.4 — same duplication mechanism as UDF filter
+        # pushdown, here with built-ins). Known upstream footgun for
+        # expensive generator inputs (SPARK-36715 limited it to
+        # ExplodeBase for this reason).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

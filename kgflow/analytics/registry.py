@@ -251,9 +251,19 @@ _register(
 )
 
 
+_DIM_CACHE: "dict[str, int]" = {}
+
+
 def _embedding_dim(spark: SparkSession, sf: str) -> int:
-    row = load(spark, sf, "embeddings").select(F.size("embedding")).first()
-    return int(row[0])
+    # cached per data dir: the dim is a schema-level constant of the
+    # embeddings table, but reading it costs a full Spark job (~0.2 s)
+    # that every ANN query build was paying per bench iteration
+    dim = _DIM_CACHE.get(sf)
+    if dim is None:
+        row = load(spark, sf, "embeddings").select(F.size("embedding")).first()
+        dim = int(row[0])
+        _DIM_CACHE[sf] = dim
+    return dim
 
 
 # --------------------------------------------------------------------------

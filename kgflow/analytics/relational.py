@@ -366,26 +366,10 @@ WHERE c_custkey NOT IN (
 """
 
 
-def _pair_structs(arr) -> F.Column:
-    """All unordered (a < b) element pairs of a SORTED array, as structs.
-
-    The JVM-side pair generator that replaces the classic key self-join
-    (guide §2.4): group the rows by the shared key, collect the sorted
-    distinct items, and expand each group's pairs with nested
-    transform/slice — the same (a, b) rows the self-join's a.key = b.key
-    AND a.item < b.item produces, but with ONE groupBy exchange instead
-    of two distinct-shuffles + a join exchange, and no double scan of
-    the input. Groups are capped by the callers (BUCKET/BUYER caps), so
-    the quadratic expansion stays bounded exactly like the join form."""
-    return F.flatten(
-        F.transform(
-            arr,
-            lambda x, i: F.transform(
-                F.slice(arr, i + F.lit(2), F.size(arr)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+# unordered in-group pair generator shared with kgflow.ops.dedup —
+# see kgflow.functions.pair_structs for the self-join-replacement
+# rationale (guide §2.4)
+from kgflow.functions import pair_structs as _pair_structs  # noqa: E402
 
 
 def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

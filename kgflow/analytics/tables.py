@@ -17,8 +17,24 @@ TABLES = (
     "embeddings",
 )
 
+# DataFrame handles keyed by (session, dir, table). spark.read.parquet
+# costs a py4j round trip + driver-side schema/file-listing work
+# (~0.15 s each) on EVERY query build, and suite queries load the same
+# static tables 1-5x per build; reusing the logical-plan handle removes
+# that fixed cost (guide §1.2 — plan-build overhead dominated several
+# sub-second queries). This caches NO data or results: execution still
+# scans the parquet files every run. The driver test tables are
+# immutable per directory; anything that rewrites a path it re-reads
+# must keep using spark.read directly.
+_HANDLES: "dict[tuple[int, str, str], DataFrame]" = {}
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(name)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (id(spark), sf_dir, name)
+    df = _HANDLES.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _HANDLES[key] = df
+    return df

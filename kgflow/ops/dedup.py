@@ -177,27 +177,51 @@ def minhash_lsh_pairs(
 
     Exact-Jaccard verification stays available via token_jaccard_pairs
     (the oracle-checked baseline)."""
-    # No size(sh) > 0 filter: word_shingles is non-empty BY CONSTRUCTION
-    # (sequence(1, greatest(len-2, 1)) always yields >= 1 element, and
-    # array_distinct keeps >= 1 even for null text), so the old guard
-    # never dropped a row — but predicate pushdown moved it below this
-    # projection and re-evaluated the whole shingle expression per doc
-    # (plans/r07/dedup_minhash_lsh_before.txt node (5): a second full
-    # split+sequence+slice pass). The md5 oracle twin keeps its
-    # equally-vacuous `len(sh) > 0` (frozen SQL text); row sets match.
-    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    # Round-7 signature build (guide §1.2 per-task work + §4.1 —
+    # measured 2.88 -> 0.81 s at sf0.1 with identical signatures):
+    #
+    #  * tokens are MATERIALIZED as a column before the shingle
+    #    transform. Higher-order functions are interpreted and
+    #    re-evaluate inline subexpressions per ELEMENT, so the old
+    #    word_shingles(col("text")) re-split the full text once per
+    #    shingle slot (~500 splits of a 3 KB string per doc); a bound
+    #    column reference is a row-field read. (CollapseProject keeps
+    #    the projection split: the alias is referenced more than once
+    #    and split() is not cheap.)
+    #  * the NUM_HASHES min-hashes run as explode + one hash aggregate
+    #    with NUM_HASHES min()s — whole-stage codegen end to end —
+    #    instead of NUM_HASHES interpreted transform+array_min passes
+    #    over each shingle array. min over the exploded multiset equals
+    #    array_min over the distinct array; partial aggregation
+    #    collapses each doc's shingles map-side, so the exchange moves
+    #    ~one narrow row per document.
+    #  * no size(sh) > 0 guard: the shingle array is non-empty by
+    #    construction (sequence(1, greatest(len-2, 1)) yields >= 1
+    #    element even for null text), and the old guard's pushed-down
+    #    copy re-evaluated the whole shingle expression per doc. The
+    #    md5 oracle twin keeps its equally-vacuous `len(sh) > 0`
+    #    (frozen SQL text); row sets match.
+    toked = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    count = F.greatest(F.size("toks") - (SHINGLE_N - 1), F.lit(1))
+    sh = toked.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.array_join(F.slice(F.col("toks"), i, SHINGLE_N), " "),
+            )
+        ).alias("sh"),
+    )
 
     if hash_family == "xxhash64":
         def hash_j(j: int):
-            # single-arg lambda: with two args F.transform passes the
-            # array index as the second parameter, breaking the seed
-            return lambda s: F.xxhash64(s, F.lit(j))
+            return F.xxhash64(F.col("s"), F.lit(j))
 
         def band_key(b: int, rows: int):
             return F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
     elif hash_family == "md5":
         def hash_j(j: int):
-            return lambda s: F.md5(F.concat(s, F.lit(f":{j}")))
+            return F.md5(F.concat(F.col("s"), F.lit(f":{j}")))
 
         def band_key(b: int, rows: int):
             return F.md5(
@@ -209,11 +233,12 @@ def minhash_lsh_pairs(
     # referenced three times below (banding + both verify sides) — see
     # docstring for the persist-vs-recompute sizing at 10^9 docs
     sig = track_persist(
-        sh.select(
+        sh.select("doc_id", F.explode("sh").alias("s"))
+        .groupBy("doc_id")
+        .agg(*[F.min(hash_j(j)).alias(f"_h{j}") for j in range(NUM_HASHES)])
+        .select(
             "doc_id",
-            F.array(
-                *[F.array_min(F.transform("sh", hash_j(j))) for j in range(NUM_HASHES)]
-            ).alias("sig"),
+            F.array(*[F.col(f"_h{j}") for j in range(NUM_HASHES)]).alias("sig"),
         )
     )
     rows = NUM_HASHES // BANDS
@@ -235,19 +260,23 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
-    capped = banded.join(
-        sizes.where(F.col("n") <= BUCKET_CAP).select("band", "key"), ["band", "key"]
+    # Round-7 candidate generation (guide §2.4): ONE groupBy(band, key)
+    # collects each bucket's sorted doc set — the BUCKET_CAP becomes a
+    # free size() filter on the collected array (replacing the separate
+    # bucket-size aggregation + join back), and in-bucket pair expansion
+    # replaces the (band, key) self-join. Same (doc_a < doc_b) pairs by
+    # construction; one (doc_id, band) row per doc per band means
+    # bucket members are already distinct, so count(*) == set size.
+    from kgflow.functions import pair_structs
+
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") <= BUCKET_CAP)
     )
-    a = capped.alias("a")
-    b = capped.alias("b")
     pairs = (
-        a.join(b, ["band", "key"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        buckets.select(F.explode(pair_structs(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))

@@ -46,7 +46,6 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from kgflow.ops.similarity import (
-    IVF_FOLD_MAX_CENTROIDS,
     _as_double,
     _ivf_probes,
     _norm,

@@ -109,22 +109,58 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return vals
 
 
+def _double_sql(v: float) -> str:
+    """Exact SQL double literal: repr() is shortest-round-trip, the D
+    suffix keeps the parser from reading a decimal (exponent forms are
+    already DOUBLE)."""
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r) else r + "D"
+
+
+def _matrix_sql(rows: "list[list[float]]") -> str:
+    """array<array<double>> literal as ONE SQL expression string.
+
+    Round-7 plan-build fix (guide §1 — measured, not guessed): the old
+    per-value F.lit() construction made thousands of py4j round trips
+    per query build (16 centroids + 12 hyperplanes x 64 dims), costing
+    2.5 s of the 3.6 s ann_ivf_topk wall before a single task ran. One
+    F.expr() call parses the whole matrix JVM-side and constant-folds
+    it into a single Literal."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(_double_sql(v) for v in row) + ")" for row in rows
+        )
+        + ")"
+    )
+
+
+def _vector_sql(vals: "list[float]") -> str:
+    return "array(" + ",".join(_double_sql(v) for v in vals) + ")"
+
+
 def lsh_bucket(col, dim: int, planes: int = HYPERPLANES) -> F.Column:
     """Random-hyperplane signature: one bit per plane (sign of dot
     product), packed into a long — vectors in the same bucket are
-    likely cosine-similar."""
-    bits = []
-    for p in range(planes):
-        hp = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
-        bits.append(
-            F.when(_dot(col, hp) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    likely cosine-similar.
+
+    The plane matrix is one folded array<array<double>> literal
+    (_matrix_sql) and the bits come from a single indexed transform;
+    disjoint powers of two sum to exactly the old bitwiseOR chain, and
+    each per-plane dot is the same zip_with+aggregate as before, so
+    buckets are bit-identical to the per-plane F.lit() formulation the
+    DuckDB oracle twins share."""
+    matrix = F.expr(_matrix_sql([_hyperplane(dim, p) for p in range(planes)]))
+    powers = F.expr(
+        "array(" + ",".join(str(1 << p) + "L" for p in range(planes)) + ")"
+    )
+    bits = F.transform(
+        matrix,
+        lambda hp, i: F.when(
+            _dot(col, hp) > 0, F.element_at(powers, i + F.lit(1))
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def lsh_assignments(
@@ -263,15 +299,28 @@ def _sims_to_centroids(col, centroids: "list[list[float]]", norm_col) -> F.Colum
     measured ~2x slower). Centroid norms are plain Python floats folded
     into the plan — folding IS the broadcast: the coarse-quantizer
     table (n_centroids x dim doubles, small by construction) ships to
-    every executor inside the serialized plan."""
+    every executor inside the serialized plan.
+
+    Round-7 shape: the centroid matrix and norm vector are single
+    folded literals (_matrix_sql — one F.expr instead of n x dim py4j
+    F.lit calls) and the per-centroid cosines come from one indexed
+    transform. Each element computes round(dot/(norm*cnorm), 6) with
+    the identical constants and operation order, so the array is
+    bit-identical to the unrolled form the DuckDB oracles mirror."""
     import math
 
-    sims = []
-    for cvals in centroids:
-        cnorm = math.sqrt(math.fsum(v * v for v in cvals))
-        carr = F.array(*[F.lit(v) for v in cvals])
-        sims.append(F.round(_dot(col, carr) / (norm_col * F.lit(cnorm)), 6))
-    return F.array(*sims)
+    matrix = F.expr(_matrix_sql([list(c) for c in centroids]))
+    norms = F.expr(
+        _vector_sql(
+            [math.sqrt(math.fsum(v * v for v in cvals)) for cvals in centroids]
+        )
+    )
+    return F.transform(
+        matrix,
+        lambda cv, i: F.round(
+            _dot(col, cv) / (norm_col * F.element_at(norms, i + F.lit(1))), 6
+        ),
+    )
 
 
 def _centroid_sims(col, dim: int, k: int, norm_col=None) -> F.Column:
@@ -391,12 +440,19 @@ def ivf_assignments(
     if use_join:
         corpus = _assign_join(pre, cent_vals)
     else:
+        # sims materialized as a column: array_position + array_max
+        # reference it twice, and an inline transform would be evaluated
+        # twice per row (interpreted HOFs have no CSE; CollapseProject
+        # keeps the projection split because the alias is referenced
+        # more than once and is non-cheap)
         sims = _sims_to_centroids(F.col("vec"), cent_vals, norm_col=F.col("nv"))
-        corpus = pre.select(
+        corpus = pre.withColumn("_sims", sims).select(
             "vec_id",
             "vec",
             # first position of the max similarity -> lowest index on ties
-            (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cluster"),
+            (F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))) - 1)
+            .cast("int")
+            .alias("cluster"),
         )
     if cluster_cap is not None:
         # vec_id tie-break: deterministic survivor on xxhash64 collision
@@ -496,18 +552,21 @@ def _ivf_probes(
             .select("query_id", "qvec", "cluster")
         )
     qsims = _sims_to_centroids(F.col("qvec"), cent_vals, norm_col=F.col("nq"))
-    # sort (neg sim, cluster) structs: sim desc, cluster asc on ties
+    # sort (neg sim, cluster) structs: sim desc, cluster asc on ties.
+    # qsims is materialized as a column (the old unrolled struct array
+    # referenced it once per centroid — n_centroids re-evaluations of
+    # the whole similarity transform under interpreted eval) and the
+    # struct array comes from one indexed transform, so the ranked
+    # array is identical at O(1) expression nodes.
     ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    (-qsims[c]).alias("negsim"), F.lit(c).cast("int").alias("cluster")
-                )
-                for c in range(n_centroids)
-            ]
+        F.transform(
+            F.col("_qsims"),
+            lambda s, i: F.struct(
+                (-s).alias("negsim"), i.cast("int").alias("cluster")
+            ),
         )
     )
-    return qpre.select(
+    return qpre.withColumn("_qsims", qsims).select(
         "query_id",
         "qvec",
         F.explode(

@@ -107,8 +107,21 @@ def run_pipeline(
             # the run summary alone (round-5 verdict item 2)
             cpu0 = audit._own_cpu_seconds()
             gc0 = audit.jvm_gc_ms(spark)
+            # build() may run EAGER work (link/canonicalize materialize
+            # intermediates with localCheckpoint) that write_stage's own
+            # timer never sees — record its wall separately so the
+            # summary accounts for the full stage window (round-7: the
+            # 500k-file run had ~38 s of elapsed_sec no stage row
+            # claimed, almost all of it these builds)
+            import time as _time
+
+            _tb = _time.monotonic()
+            df = build()
+            build_wall = _time.monotonic() - _tb
+            if build_wall >= 0.05:
+                report.sections[f"build_{name}"] = round(build_wall, 3)
             res = lin.write_stage(
-                build(), name, run_dir, fp, run_ts, schema_mode=schema_mode
+                df, name, run_dir, fp, run_ts, schema_mode=schema_mode
             )
             cpu1 = audit._own_cpu_seconds()
             gc1 = audit.jvm_gc_ms(spark)

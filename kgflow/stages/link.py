@@ -80,22 +80,32 @@ def _shingles(col: F.Column) -> F.Column:
     )
 
 
-def minhash_signature(col: F.Column) -> F.Column:
-    """array<long> of NUM_HASHES min-hashes over character shingles.
-
-    xxhash64(shingle, seed_j) per hash function — entirely JVM-side;
-    the classic (a*x+b) mod p family is unnecessary when a seeded
-    64-bit hash is available as a builtin.
-    """
+def minhash_signature_from_shingles(sh_col: F.Column) -> F.Column:
+    """array<long> of NUM_HASHES min-hashes over a MATERIALIZED shingle
+    column. Pass a bound column, not an inline _shingles(...) expression:
+    each of the NUM_HASHES transforms evaluates its array argument once
+    per row, so an inline shingle expression would be re-computed
+    NUM_HASHES times per row (interpreted HOFs have no CSE — measured
+    as the dominant cost of the alias_edges stage at 500k files)."""
     def hash_j(j: int):
         # single-arg lambda: with two args F.transform passes the array
         # index as the second parameter, silently breaking the seed
         return lambda s: F.xxhash64(s, F.lit(j))
 
-    sh = _shingles(col)
     return F.array(
-        *[F.array_min(F.transform(sh, hash_j(j))) for j in range(NUM_HASHES)]
+        *[F.array_min(F.transform(sh_col, hash_j(j))) for j in range(NUM_HASHES)]
     )
+
+
+def minhash_signature(col: F.Column) -> F.Column:
+    """array<long> of NUM_HASHES min-hashes over character shingles.
+
+    xxhash64(shingle, seed_j) per hash function — entirely JVM-side;
+    the classic (a*x+b) mod p family is unnecessary when a seeded
+    64-bit hash is available as a builtin. Prefer
+    minhash_signature_from_shingles with a materialized shingle column
+    on hot paths (see its docstring)."""
+    return minhash_signature_from_shingles(_shingles(col))
 
 
 def lsh_alias_edges(dictionary: DataFrame) -> DataFrame:
@@ -110,11 +120,37 @@ def lsh_alias_edges(dictionary: DataFrame) -> DataFrame:
     pairs would be quadratic; precision is protected by the verify step
     and recall by the remaining bands).
     """
-    with_sig = dictionary.select(
+    # Round-7 binding fix (measured 25.4 -> ~3 s of build wall at 500k
+    # files): the old inline _shingles(_norm(symbol)) /
+    # minhash_signature(_norm(symbol)) re-ran the normalization regex
+    # and the whole shingle transform once per lambda ELEMENT and once
+    # per hash transform — interpreted HOFs re-evaluate inline
+    # subexpressions per element, and the signature referenced the
+    # shingle expression NUM_HASHES times. Materialize the padded
+    # string, then the shingle array, then compute the signature from
+    # the bound column: identical values (the dictionary's norm column
+    # IS _norm(symbol)), each piece computed once per row.
+    padded = dictionary.select(
         "symbol",
-        F.col("norm"),
-        _shingles(_norm(F.col("symbol"))).alias("sh"),
-        minhash_signature(_norm(F.col("symbol"))).alias("sig"),
+        "norm",
+        F.concat(F.lit("^"), F.col("norm"), F.lit("$")).alias("p"),
+    )
+    n_sh = F.greatest(F.length("p") - (SHINGLE_LEN - 1), F.lit(1))
+    shingled = padded.select(
+        "symbol",
+        "norm",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.substring(F.col("p"), i, SHINGLE_LEN),
+            )
+        ).alias("sh"),
+    )
+    with_sig = shingled.select(
+        "symbol",
+        "norm",
+        "sh",
+        minhash_signature_from_shingles(F.col("sh")).alias("sig"),
     )
     rows_per_band = NUM_HASHES // BANDS
     banded = with_sig.select(

@@ -54,9 +54,27 @@ def to_edges(
 ) -> DataFrame:
     """Relational rows -> loader-shaped edge table, deduplicated by
     (start, end, type)."""
-    props = (
-        F.to_json(struct_if_exists(df, prop_cols)) if prop_cols else F.lit("{}")
-    )
+    if not prop_cols:
+        # prop-less fast path (round 7, guide §2.3): dedup the RAW key
+        # pair and format afterwards — the "Label:" prefixes and the
+        # rel_type literal are constant per call and the cast-to-string
+        # concat is injective given them, so distinct(raw) == distinct
+        # (formatted) while the exchange carries half the bytes (the
+        # same narrow-row trick to_edges_multi already plays)
+        return (
+            df.select(
+                F.col(from_col).cast("string").alias("_a"),
+                F.col(to_col).cast("string").alias("_b"),
+            )
+            .dropDuplicates(["_a", "_b"])
+            .select(
+                F.concat(F.lit(from_label + ":"), F.col("_a")).alias(":START_ID"),
+                F.concat(F.lit(to_label + ":"), F.col("_b")).alias(":END_ID"),
+                F.lit(rel_type).alias(":TYPE"),
+                F.lit("{}").alias("properties"),
+            )
+        )
+    props = F.to_json(struct_if_exists(df, prop_cols))
     return (
         df.select(
             F.concat(F.lit(from_label + ":"), F.col(from_col).cast("string")).alias(":START_ID"),

@@ -38,8 +38,8 @@ def ingest(source: DataFrame) -> DataFrame:
         "lang",
         "content",
         *extras,
-        # Arrow-vectorized sha256: the builtin sha2 anti-scales with
-        # thread count (JVM digest lock) — see kgflow/functions.py.
+        # JVM-builtin sha256 (F.sha2 — whole-stage codegen; see
+        # kgflow/functions.py for the round-7 re-measurement history).
         # NULL content hashes as the empty string so the sha invariant
         # (every triple's src_sha exists in the ingest table) holds for
         # null-content rows too.

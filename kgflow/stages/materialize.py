@@ -86,18 +86,18 @@ def build_edges(triples_c: DataFrame) -> DataFrame:
     obj_label = F.create_map(
         *[x for p, (_, o) in label_map.items() for x in (F.lit(p), F.lit(o))]
     )[F.col("pred")]
+    # group on the RAW (pred, subj, obj) key and format the loader
+    # columns AFTER the aggregate (round 7, guide §2.3): :TYPE IS pred
+    # and the label prefixes are functions of pred, so the grouping is
+    # bijective with the formatted key while the exchange skips the
+    # prefix bytes on every pre-aggregation row
     return (
-        triples_c.select(
+        triples_c.groupBy("pred", "subj", "obj")
+        .agg(F.count(F.lit(1)).alias("evidence"))
+        .select(
             F.concat(subj_label, F.lit(":"), F.col("subj")).alias(":START_ID"),
             F.concat(obj_label, F.lit(":"), F.col("obj")).alias(":END_ID"),
             F.col("pred").alias(":TYPE"),
-        )
-        .groupBy(":START_ID", ":END_ID", ":TYPE")
-        .agg(F.count(F.lit(1)).alias("evidence"))
-        .select(
-            ":START_ID",
-            ":END_ID",
-            ":TYPE",
             F.to_json(F.struct(F.col("evidence"))).alias("properties"),
         )
     )

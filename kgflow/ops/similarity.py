@@ -423,7 +423,11 @@ def ivf_assignments(
     list path a 10^9-vector corpus needs), ``auto`` (default) switches
     on len(centroids). Both paths round similarities identically and
     share the (sim desc, cluster asc) tie-break, so results are
-    identical by construction (pytest-pinned)."""
+    identical by construction (pytest-pinned) — PROVIDED vec_id is
+    unique: the join path's groupBy(vec_id) collapses duplicate-id rows
+    to one assignment where the fold path emits one per input row
+    (round-6 advice). Deduplicate by vec_id first if the corpus can
+    carry repeats."""
     if assign not in ("auto", "fold", "join"):
         raise ValueError(f"assign must be auto|fold|join, got {assign!r}")
     cent_vals = _resolve_centroids(dim, n_centroids, centroids)
@@ -620,22 +624,29 @@ def train_centroids(
     plan — training a 4k-65k-list quantizer would otherwise blow plan
     compilation n_iters times over (same switch, same rounded-cosine
     tie-break, so the ASSIGNMENT step is path-independent; the mean
-    update keeps the fixed-partitioning caveat above either way)."""
+    update keeps the fixed-partitioning caveat above either way).
+    The join path additionally requires a UNIQUE vec_id column (its
+    groupBy collapses duplicate ids to one assignment); fold-width
+    trainings need no vec_id at all (round-6 advice — the column is
+    only projected when the join path runs)."""
+    needs_id = n_centroids > IVF_FOLD_MAX_CENTROIDS
+    id_cols = ["vec_id"] if needs_id else []
     vecs = (
-        embeddings.select("vec_id", _as_double(F.col("embedding")).alias("vec"))
+        embeddings.select(*id_cols, _as_double(F.col("embedding")).alias("vec"))
         .withColumn("nv", _norm(F.col("vec")))
         .where(F.col("nv") > 0)
     )
     cents = [_centroid(dim, c) for c in range(n_centroids)]
     for _ in range(n_iters):
-        if n_centroids > IVF_FOLD_MAX_CENTROIDS:
+        if needs_id:
             clustered = _assign_join(vecs, cents)
         else:
+            # no vec_id on the fold path: the Lloyd update below keys on
+            # (cluster, pos) only
             sims = _sims_to_centroids(F.col("vec"), cents, norm_col=F.col("nv"))
-            clustered = vecs.select(
-                "vec_id",
+            clustered = vecs.withColumn("_sims", sims).select(
                 "vec",
-                (F.array_position(sims, F.array_max(sims)) - 1)
+                (F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))) - 1)
                 .cast("int")
                 .alias("cluster"),
             )

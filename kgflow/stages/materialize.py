@@ -136,7 +136,16 @@ def materialize(
     materializes it once instead of re-scanning + re-joining per output
     table. (On a real cluster this would be the `canonical_triples`
     stage table instead of an in-memory checkpoint.)"""
-    tc = canonicalized_triples(triples, cmap).localCheckpoint(eager=True)
+    # project to the three columns nodes/edges actually consume BEFORE
+    # checkpointing: the eager localCheckpoint materializes deserialized
+    # rows in memory, and src_sha (64-char hex) + repo + lang were ~40%
+    # of that footprint for zero downstream use (guide §2.3 — project
+    # before the materialization boundary)
+    tc = (
+        canonicalized_triples(triples, cmap)
+        .select("subj", "pred", "obj")
+        .localCheckpoint(eager=True)
+    )
     nodes = build_nodes(tc)
     edges = build_edges(tc)
     if out_partitions:

@@ -71,8 +71,6 @@ def connected_components(alias_edges: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if edges.isEmpty():
-        return edges.select(F.col("src").alias("member"), F.col("dst").alias("canonical"))
 
     def _fingerprint(e: DataFrame) -> tuple:
         # order-insensitive edge-set fingerprint in ONE aggregate —
@@ -86,6 +84,10 @@ def connected_components(alias_edges: DataFrame) -> DataFrame:
         return (row.n, row.hsum)
 
     prev_fp = _fingerprint(edges)
+    # empty-graph early-out reuses the fingerprint's count — the
+    # previous separate isEmpty() cost one more Spark job per run
+    if prev_fp[0] == 0:
+        return edges.select(F.col("src").alias("member"), F.col("dst").alias("canonical"))
     for _ in range(MAX_ITERATIONS):
         grown = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         fp = _fingerprint(grown)

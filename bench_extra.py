@@ -39,6 +39,10 @@ def main() -> int:
     spark = get_spark("kgflow-bench-extra", cores=CPUS)
 
     if mode == "plans":
+        if not rest or rest[0] in QUERIES:
+            # a missing tag would crash (or silently eat the first query
+            # name as the tag) after Spark startup — fail fast instead
+            raise SystemExit("usage: bench_extra.py plans <tag> [query ...]")
         tag = rest[0]
         names = rest[1:] or sorted(QUERIES)
         os.makedirs(PLANS_DIR, exist_ok=True)

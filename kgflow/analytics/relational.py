@@ -677,20 +677,30 @@ def q_copurchase_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     purchases = track_persist(purchases)
     # Round-7 similarity shape (guide §2.3/§2.4,
-    # plans/r07/copurchase_recommendations_{before,after}.txt): one
-    # groupBy(part) collects each part's sorted buyer set — the viral-
-    # part cap becomes a free size() filter on the collected array
-    # (replacing the hot-list aggregation + broadcast anti-join), and
-    # in-group pair expansion replaces the part-keyed self-join. The
-    # pair exchange then moves UNORDERED pairs — half the rows of the
-    # ordered (cust != other) join output, the dominant shuffle of this
-    # query (~17M ordered pair rows at sf0.1) — and both orientations
-    # are re-emitted only for the MIN_SHARED survivors. Same sim table
-    # by symmetry: shared(a,b) = shared(b,a).
-    grouped = (
+    # plans/r07/copurchase_recommendations_{before,after}.txt): the
+    # viral parts are dropped FIRST with the count-based hot list +
+    # broadcast anti-join (counting is O(1) memory per group — a
+    # collect_set-then-size() filter would materialize a 10^5-buyer
+    # part's full member array in one aggregation buffer before
+    # discarding it), then one groupBy(part) collects the surviving
+    # parts' sorted buyer sets — every collected array <= PART_BUYER_CAP
+    # by construction — and in-group pair expansion replaces the
+    # part-keyed self-join. The pair exchange then moves UNORDERED
+    # pairs — half the rows of the ordered (cust != other) join output,
+    # the dominant shuffle of this query (~17M ordered pair rows at
+    # sf0.1) — and both orientations are re-emitted only for the
+    # MIN_SHARED survivors. Same sim table by symmetry:
+    # shared(a,b) = shared(b,a).
+    hot = (
         purchases.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_buyers"))
+        .where(F.col("n_buyers") > PART_BUYER_CAP)
+        .select("part")
+    )
+    grouped = (
+        purchases.join(F.broadcast(hot), "part", "left_anti")
+        .groupBy("part")
         .agg(F.sort_array(F.collect_set("cust")).alias("buyers"))
-        .where(F.size("buyers") <= PART_BUYER_CAP)
     )
     upairs = grouped.select(F.explode(_pair_structs(F.col("buyers"))).alias("p"))
     shared_u = (
@@ -807,8 +817,13 @@ def q_supplier_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     product_counts = supplied.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).alias("product_count")
     )
+    # isNotNull guard keeps countDistinct's exact NULL semantics (a
+    # distinct+count would tally a NULL type as one category); p_type
+    # is non-null in the generated data, so the filter is row-neutral
+    # there but makes the rewrite data-independent
     category_counts = (
         supplied.select("l_suppkey", "p_type")
+        .where(F.col("p_type").isNotNull())
         .distinct()
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("category_count"))

@@ -35,6 +35,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), sf_dir, name)
     df = _HANDLES.get(key)
     if df is None:
+        # bound the cache so a long-lived process cycling sessions or
+        # data dirs cannot pin handles (and their sessions) forever;
+        # 4x the table count covers several concurrent dirs
+        if len(_HANDLES) >= 4 * len(TABLES) * 4:
+            _HANDLES.clear()
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         _HANDLES[key] = df
     return df

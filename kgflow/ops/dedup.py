@@ -260,19 +260,28 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    # Round-7 candidate generation (guide §2.4): ONE groupBy(band, key)
-    # collects each bucket's sorted doc set — the BUCKET_CAP becomes a
-    # free size() filter on the collected array (replacing the separate
-    # bucket-size aggregation + join back), and in-bucket pair expansion
-    # replaces the (band, key) self-join. Same (doc_a < doc_b) pairs by
-    # construction; one (doc_id, band) row per doc per band means
-    # bucket members are already distinct, so count(*) == set size.
+    # Round-7 candidate generation (guide §2.4): degenerate buckets are
+    # dropped FIRST via the count-based size aggregation + broadcast
+    # anti-join (counting is O(1) memory per group — collecting a
+    # 10^7-member spam bucket just to discard it on size() would blow
+    # one aggregation buffer), then ONE groupBy(band, key) collects the
+    # surviving buckets' sorted doc sets — every array <= BUCKET_CAP by
+    # construction — and in-bucket pair expansion replaces the
+    # (band, key) self-join. Same (doc_a < doc_b) pairs; one
+    # (doc_id, band) row per doc per band means bucket members are
+    # already distinct, so count(*) == set size.
     from kgflow.functions import pair_structs
 
-    buckets = (
+    over_cap = (
         banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > BUCKET_CAP)
+        .select("band", "key")
+    )
+    buckets = (
+        banded.join(F.broadcast(over_cap), ["band", "key"], "left_anti")
+        .groupBy("band", "key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .where(F.size("ids") <= BUCKET_CAP)
     )
     pairs = (
         buckets.select(F.explode(pair_structs(F.col("ids"))).alias("p"))
